@@ -1,0 +1,165 @@
+"""Deterministic text extraction, cleaning, and outlink discovery.
+
+One pure-Python implementation shared verbatim by the single-process
+reference oracle (newscrawl.reference_oracle) and the Spark pandas UDFs
+(``extract_pages``), so the byte-identical-text invariant
+(BASELINE.json input_hint) holds by construction and is then *verified*
+by sha256 diffs in tests.
+
+Reference semantics mirrored:
+- ``extract_text`` stands in for trafilatura fetch+extract
+  (/root/reference/ingest/utils.py:17-24): main-content selection
+  (``<article>`` block), title + paragraph text, boilerplate
+  (nav/cookie/footer) stripped.
+- ``clean_text`` is the reference's deterministic cleaning fallback
+  (/root/reference/ingest/call_to_genai.py:120-138, duplicated at
+  call_to_ollama.py:102-120): strip URLs, junk lines
+  (follow/share/sign up/subscribe/cookie), trailing spaces, squeeze
+  3+ newlines.
+- ``is_skip_title`` is the boilerplate title filter
+  (/root/reference/ingest/classifier.py:64-71): case-insensitive
+  substring match; matched rows are still marked processed.
+- ``discover_outlinks`` is the link-discovery step of the homepage/RSS
+  scrapers (e.g. /root/reference/ingest/custom_scrapers.py:79-108),
+  restricted to the article body's related-links block.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+from typing import Optional
+
+MIN_TEXT_CHARS = 100  # reference custom_scrapers.py:376-378 (len < 100 dropped)
+
+SKIP_TITLE_PHRASES = (
+    # reference classifier.py:64-71 — 5 boilerplate phrases, case-insensitive
+    "sign up for our newsletter",
+    "subscribe to",
+    "cookie policy",
+    "terms of service",
+    "newsletter:",
+)
+
+_ARTICLE_RE = re.compile(r"<article>(.*?)</article>", re.S)
+_H1_RE = re.compile(r"<h1>(.*?)</h1>", re.S)
+_P_RE = re.compile(r"<p>(.*?)</p>", re.S)
+_RELATED_RE = re.compile(r'<div class="related">(.*?)</div>', re.S)
+_HREF_RE = re.compile(r'<a href="([^"]+)"')
+
+_URL_IN_TEXT_RE = re.compile(r"https?://\S+")
+_JUNK_LINE_RE = re.compile(
+    r"(?im)^.*\b(follow us|share this|sign up|subscribe|cookie)\b.*$"
+)
+_TRAIL_SPACE_RE = re.compile(r"[ \t]+$", re.M)
+_SQUEEZE_NL_RE = re.compile(r"\n{3,}")
+
+
+def _decode(html: bytes | str | None) -> str:
+    if html is None:
+        return ""
+    if isinstance(html, (bytes, bytearray)):
+        return bytes(html).decode("utf-8", errors="replace")
+    return html
+
+
+def extract_title(html: bytes | str | None) -> Optional[str]:
+    """First <h1> inside the article block (reference h1 scrape,
+    custom_scrapers.py:67-76; fallback None — caller coalesces)."""
+    body = _ARTICLE_RE.search(_decode(html))
+    if not body:
+        return None
+    m = _H1_RE.search(body.group(1))
+    return m.group(1).strip() if m else None
+
+
+def extract_text(html: bytes | str | None) -> str:
+    """Main-content extraction: h1 + paragraphs of the <article> block,
+    joined by blank lines. Nav / cookie banner / footer boilerplate is
+    outside <article> and therefore never extracted. Returns '' when no
+    article block exists (reference fetch_and_extract returns None on
+    failure, ingest/utils.py:22-24)."""
+    body_m = _ARTICLE_RE.search(_decode(html))
+    if not body_m:
+        return ""
+    body = body_m.group(1)
+    parts: list[str] = []
+    title_m = _H1_RE.search(body)
+    if title_m:
+        parts.append(title_m.group(1).strip())
+    for p in _P_RE.findall(body):
+        t = p.strip()
+        if t:
+            parts.append(t)
+    return "\n\n".join(parts)
+
+
+def discover_outlinks(html: bytes | str | None) -> list[str]:
+    """Hrefs inside the article's related-links block, in document
+    order, first-occurrence deduped (reference in-page dedup sets,
+    custom_scrapers.py:353-367)."""
+    body_m = _ARTICLE_RE.search(_decode(html))
+    if not body_m:
+        return []
+    rel = _RELATED_RE.search(body_m.group(1))
+    if not rel:
+        return []
+    seen: set[str] = set()
+    out: list[str] = []
+    for href in _HREF_RE.findall(rel.group(1)):
+        if href not in seen:
+            seen.add(href)
+            out.append(href)
+    return out
+
+
+def clean_text(text: str | None) -> str:
+    """Deterministic cleaner (reference call_to_genai.py:120-138):
+    drop URLs, drop junk lines, strip trailing spaces, squeeze >=3
+    newlines to 2, strip ends."""
+    if not text:
+        return ""
+    t = _URL_IN_TEXT_RE.sub("", text)
+    t = _JUNK_LINE_RE.sub("", t)
+    t = _TRAIL_SPACE_RE.sub("", t)
+    t = _SQUEEZE_NL_RE.sub("\n\n", t)
+    return t.strip()
+
+
+def is_skip_title(title: str | None) -> bool:
+    """Boilerplate-title filter (reference classifier.py:64-71,214-224).
+    Matching rows are processed (seen) but produce no article."""
+    if not title:
+        return False
+    low = title.lower()
+    return any(p in low for p in SKIP_TITLE_PHRASES)
+
+
+# ---------------------------------------------------------------------------
+# Spark side: vectorized mapInPandas extraction over the html column.
+# ---------------------------------------------------------------------------
+
+# Output schema appended to the input columns by extract_pages().
+EXTRACT_COLUMNS = (
+    "title string, text string, clean_text string, "
+    "outlinks array<string>, skip boolean"
+)
+
+
+def extract_pages(batch_iter: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+    """mapInPandas function: html binary -> (title, text, outlinks, skip).
+
+    Pure per-row transformation over Arrow batches — no state, no
+    shuffling, safe at any partitioning. Use with::
+
+        df.mapInPandas(extract_pages, schema=<input schema> + EXTRACT_COLUMNS)
+    """
+    for pdf in batch_iter:
+        htmls = pdf["html"]
+        pdf = pdf.copy()
+        pdf["title"] = [extract_title(h) for h in htmls]
+        pdf["text"] = [extract_text(h) for h in htmls]
+        pdf["clean_text"] = [clean_text(t) for t in pdf["text"]]
+        pdf["outlinks"] = [discover_outlinks(h) for h in htmls]
+        pdf["skip"] = [is_skip_title(t) for t in pdf["title"]]
+        yield pdf

@@ -1,0 +1,104 @@
+"""Per-host politeness budgets, robots gating, skew-defused ranking.
+
+The reference's entire politeness model is one in-flight request
+globally with fixed sleeps (SURVEY.md §2.10); robots.txt is never
+consulted. These are north-rule *additions*: with ``budget=None`` and an
+empty robots table the gate is a no-op and the engine is
+reference-equivalent (required for fixture parity).
+
+Skew: a hot host (e.g. hot.example.com in the synthetic corpus) would
+put all its candidates in one Window partition. The budget gate is
+therefore two-phase salted: rank within (host, salt) keeping only
+``budget`` rows per salt — a cheap pre-prune that caps any single
+partition at budget*n_salts rows — then re-rank the survivors within
+host for the exact top-``budget``. Identical output to a single global
+per-host Window, bounded partition sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from .priority import SORT_KEY, with_sort_key
+
+HOST_RE = r"^https?://([^/]+)"
+N_SALTS = 16
+
+
+def with_host(df: DataFrame) -> DataFrame:
+    return df.withColumn("host", F.regexp_extract("url", HOST_RE, 1))
+
+
+def robots_filter(candidates: DataFrame, robots: DataFrame | None) -> DataFrame:
+    """Drop candidates whose url path starts with a disallowed prefix for
+    its host. ``robots(host, disallow array<string>)`` is broadcast (it is
+    host-cardinality, small). Hosts absent from the table are allowed.
+    Disallowed urls are dropped permanently (not carried/retried)."""
+    if robots is None:
+        return candidates
+    df = candidates if "host" in candidates.columns else with_host(candidates)
+    df = df.withColumn("_path", F.regexp_replace("url", HOST_RE, ""))
+    joined = df.join(F.broadcast(robots), "host", "left")
+    allowed = joined.filter(
+        F.col("disallow").isNull()
+        | ~F.exists("disallow", lambda d: F.col("_path").startswith(d))
+    )
+    return allowed.drop("disallow", "_path")
+
+
+def budget_gate(candidates: DataFrame, budget: int | None, n_salts: int = N_SALTS) -> DataFrame:
+    """Keep the top-``budget`` candidates per host by sort_key.
+
+    Returns (kept, deferred): deferred rows stay in the frontier for the
+    next wave (the reference analog: a homepage link not fetched this run
+    is fetched on a later run).
+    """
+    if budget is None:
+        return candidates
+    df = candidates if SORT_KEY in candidates.columns else with_sort_key(candidates)
+    df = df if "host" in df.columns else with_host(df)
+
+    salt = F.pmod(F.xxhash64("url"), F.lit(n_salts))
+    w1 = W.partitionBy("host", salt).orderBy(SORT_KEY)
+    pruned = df.withColumn("_rn1", F.row_number().over(w1)).filter(
+        F.col("_rn1") <= budget
+    )
+    w2 = W.partitionBy("host").orderBy(SORT_KEY)
+    return (
+        pruned.withColumn("_rn2", F.row_number().over(w2))
+        .withColumn("_kept", F.col("_rn2") <= budget)
+        .drop("_rn1")
+    )
+
+
+def split_budget(gated: DataFrame) -> tuple[DataFrame, DataFrame]:
+    kept = gated.filter(F.col("_kept")).drop("_rn2", "_kept", "host")
+    deferred = gated.filter(~F.col("_kept")).drop("_rn2", "_kept", "host")
+    return kept, deferred
+
+
+def scaled_priority_key(df: DataFrame, host_state: DataFrame | None) -> DataFrame:
+    """North-rule scaled scheduler ordering: (host budget, recency,
+    news-source score). Used instead of the reference key when
+    reference-parity is not required. host_state(host, budget, news_score)
+    broadcasts; recency comes from the frontier's ord depth (fresher
+    discoveries crawl first)."""
+    df = df if "host" in df.columns else with_host(df)
+    if host_state is not None:
+        df = df.join(F.broadcast(host_state), "host", "left")
+    else:
+        df = df.withColumn("budget", F.lit(None).cast("int")).withColumn(
+            "news_score", F.lit(None).cast("double")
+        )
+    depth = F.size(F.split(F.col("ord"), r"\.")) - 1
+    return df.withColumn(
+        SORT_KEY,
+        F.format_string(
+            "%03d|%04.0f|%02d|%02d|%s",
+            F.coalesce(F.col("budget"), F.lit(999)),
+            (F.lit(1000) - F.coalesce(F.col("news_score"), F.lit(0)) * 1000),
+            depth,
+            F.col("source_rank"),
+            F.col("ord"),
+        ),
+    ).drop("budget", "news_score")

@@ -1,0 +1,133 @@
+"""Single-process reference oracle.
+
+Mirrors the reference crawler's control flow exactly — one sequential
+loop, one global seen-set — and produces the golden fixtures the Spark
+engine is diffed against (crawl order, seen-set membership,
+extracted-text bytes; BASELINE.json north_star assertions).
+
+Control-flow parity with /root/reference:
+- fixed scraper order, then section order, then page position
+  (ingest/get_all_articles.py:10-11; section dicts in custom_scrapers.py)
+- DW links processed in lexicographic url order (crawler_dw.py:194) —
+  encoded in the ``ord`` key by seed_rows / child_ord
+- first-wins in-wave dedup across sources (get_all_articles.py:14-17)
+- seen-check BEFORE fetch (utils.py:7-13 at custom_scrapers.py:96 etc.)
+- fetch failure / short text -> NOT inserted into the seen set, url is
+  re-attempted next wave (scrapers only insert_link at yield time,
+  custom_scrapers.py:96-108; len<100 guard at :376-378)
+- yielded urls are always marked processed, even when the boilerplate
+  title filter skips them (classifier.py:214-224,289-293)
+
+The oracle shares ``extract``'s pure functions with the Spark UDFs, so
+text bytes agree by construction; tests then verify it via sha256.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+
+from . import extract as ex
+from . import synth
+
+
+def sort_key(row: dict) -> tuple:
+    return (row["source_rank"], row["section_rank"], row["ord"])
+
+
+def child_ord(parent_ord: str, link_idx: int) -> str:
+    return f"{parent_ord}.{str(link_idx).zfill(4)}"
+
+
+def child_row(parent: dict, link_idx: int, url: str) -> dict:
+    return {
+        "url": url,
+        "source": parent["source"],
+        "source_rank": parent["source_rank"],
+        "section": parent["section"] + "/out",
+        "section_rank": parent["section_rank"],
+        "ord": child_ord(parent["ord"], link_idx),
+    }
+
+
+@dataclass
+class WaveResult:
+    wave_id: str
+    crawl_order: list[str] = field(default_factory=list)  # yielded urls, in order
+    articles: list[dict] = field(default_factory=list)
+    n_skipped: int = 0
+    n_carry: int = 0
+    n_new_outlinks: int = 0
+    n_candidates: int = 0
+
+
+@dataclass
+class OracleResult:
+    waves: list[WaveResult] = field(default_factory=list)
+    seen: dict = field(default_factory=dict)  # url -> (discovered_wave, processed_wave)
+    text_sha: dict = field(default_factory=dict)  # url -> sha256 hex of utf-8 text
+    final_frontier: list[dict] = field(default_factory=list)
+
+
+def wave_id_for(i: int) -> str:
+    return f"w{i:04d}"
+
+
+def run_oracle(cfg: synth.SynthConfig, n_waves: int | None = None) -> OracleResult:
+    n_waves = n_waves if n_waves is not None else cfg.n_waves
+    res = OracleResult()
+    frontier: list[dict] = synth.seed_rows(cfg)
+
+    for w in range(n_waves):
+        wid = wave_id_for(w)
+        wave = WaveResult(wave_id=wid)
+
+        # first-wins dedup in priority order (F2)
+        cands: list[dict] = []
+        in_wave: set[str] = set()
+        for row in sorted(frontier, key=sort_key):
+            if row["url"] not in in_wave:
+                in_wave.add(row["url"])
+                cands.append(row)
+        wave.n_candidates = len(cands)
+
+        carry: list[dict] = []
+        children: list[dict] = []
+        for row in cands:
+            url = row["url"]
+            if url in res.seen:  # anti-join vs persistent seen set (F1)
+                continue
+            page = synth.page_for_url(url, cfg)
+            if page is None or len(page.text) < cfg.min_text_chars:
+                carry.append(row)  # fetch failure / too short: retry next wave
+                continue
+            # yielded: enters seen set and the crawl order
+            res.seen[url] = (wid, wid)
+            res.text_sha[url] = hashlib.sha256(page.text.encode("utf-8")).hexdigest()
+            wave.crawl_order.append(url)
+            for j, link in enumerate(ex.discover_outlinks(page.html)):
+                children.append(child_row(row, j, link))
+            title = ex.extract_title(page.html)
+            if ex.is_skip_title(title):
+                wave.n_skipped += 1
+                continue
+            wave.articles.append(
+                {
+                    "url": url,
+                    "title": title,
+                    "text": page.text,
+                    "clean_text": ex.clean_text(page.text),
+                    "source": row["source"],
+                    "wave_id": wid,
+                    "warc_ts": page.warc_ts,
+                    "n_chars": len(page.text),
+                }
+            )
+
+        wave.n_carry = len(carry)
+        wave.n_new_outlinks = len(children)
+        frontier = carry + children
+        res.waves.append(wave)
+
+    res.final_frontier = frontier
+    return res

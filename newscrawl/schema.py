@@ -1,0 +1,110 @@
+"""All table schemas, declared once (SURVEY.md §1.3: the reference is
+schemaless-by-convention; we invert that with fixed StructTypes).
+
+The ``pages`` shape is the authoritative input per BASELINE.json
+``input_hint``: (url:string, warc_ts:timestamp, html:binary, text:string,
+lang:string).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# Common-Crawl-style page corpus (BASELINE.json input_hint).
+PAGES = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+# URL frontier. ``ord`` is a hierarchical, lexicographically sortable
+# position key: seeds get zero-padded page position (DW seeds get the url
+# itself — reference crawler_dw.py:194 sorts DW links lexicographically);
+# outlinks get parent_ord + "." + zero-padded link index.
+FRONTIER = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("source", T.StringType(), False),
+        T.StructField("source_rank", T.IntegerType(), False),
+        T.StructField("section", T.StringType(), False),
+        T.StructField("section_rank", T.IntegerType(), False),
+        T.StructField("ord", T.StringType(), False),
+    ]
+)
+
+# URL-seen set (reference link_pool, lib/repositories/link_pool_repository.py:65-79).
+# Membership for skipping is exact on the RAW url (reference never
+# canonicalizes; ingest/utils.py:7-13). url_hash (xxhash64 of url) is the
+# shard / bloom key only.
+SEEN = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("discovered_wave", T.StringType(), True),
+        T.StructField("processed_wave", T.StringType(), True),
+        T.StructField("is_processed", T.BooleanType(), False),
+        # deterministic within-wave position key, persisted so the crawl
+        # order fixture is reconstructible from state alone
+        T.StructField("sort_key", T.StringType(), True),
+    ]
+)
+
+# Crawl output (reference scraped-article shape, ingest/custom_scrapers.py:102-108,
+# plus the deterministic cleaner output, ingest/call_to_genai.py:120-138).
+ARTICLES = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("title", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("clean_text", T.StringType(), True),
+        T.StructField("source", T.StringType(), False),
+        T.StructField("wave_id", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("n_chars", T.LongType(), True),
+    ]
+)
+
+# Per-wave metrics (reference metadata collection, ingest/classifier.py:202-207,308-318).
+WAVE_METRICS = T.StructType(
+    [
+        T.StructField("wave_id", T.StringType(), False),
+        T.StructField("n_frontier", T.LongType(), True),
+        T.StructField("n_candidates", T.LongType(), True),
+        T.StructField("n_yielded", T.LongType(), True),
+        T.StructField("n_skipped", T.LongType(), True),
+        T.StructField("n_articles", T.LongType(), True),
+        T.StructField("n_carry", T.LongType(), True),
+        T.StructField("n_new_outlinks", T.LongType(), True),
+        T.StructField("source_distribution", T.StringType(), True),  # JSON
+    ]
+)
+
+# Sharded bloom-filter seen-set accelerator (SURVEY.md §4 item 1).
+BLOOM_SHARDS = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType(), False),
+        T.StructField("bitmap", T.BinaryType(), False),
+        T.StructField("n_items", T.LongType(), False),
+    ]
+)
+
+# Politeness additions (north rule; reference has none — robots.txt is
+# never consulted in the reference tree).
+HOST_STATE = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("budget", T.IntegerType(), True),
+        T.StructField("news_score", T.DoubleType(), True),
+    ]
+)
+
+ROBOTS = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("disallow", T.ArrayType(T.StringType()), True),
+    ]
+)

@@ -1,0 +1,276 @@
+"""URL-seen set: exact anti-join + sharded bloom prefilter + cuckoo spill tier.
+
+The reference's seen set is a Mongo collection with a unique index on
+``url`` checked by per-row point lookups
+(/root/reference/lib/repositories/link_pool_repository.py:56-79,
+ingest/utils.py:7-13). At 10^10 urls the Spark equivalent is:
+
+1. a **sharded bloom filter** (numpy bit arrays, one shard per
+   ``url_hash % n_shards``) used as a *negative cache*: candidates whose
+   hash definitely isn't in the bloom skip the expensive anti-join
+   shuffle entirely. Blooms can false-positive, never false-negative,
+   so this is an accelerator only — exactness always comes from step 3.
+2. a **cuckoo-filter spill tier** for recent/deletable entries (e.g. a
+   wave that must roll back): supports delete, spills to the same
+   binary-blob table format.
+3. the authoritative **exact left_anti join** on the raw url against the
+   maybe-seen candidates (reference membership is exact string equality
+   — no canonicalization; SURVEY.md §2.6).
+
+PySpark 4.1 exposes no DataFrame bloomFilter API (only hash/xxhash64),
+so the bit arrays are built with numpy inside applyInPandas and stored
+as BinaryType rows (schema.BLOOM_SHARDS) — scale-independent: shard
+count fixes per-shard memory, shards stream through executors.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from .schema import BLOOM_SHARDS
+
+DEFAULT_SHARDS = 16
+DEFAULT_BITS_PER_SHARD = 1 << 20  # 128 KiB per shard
+DEFAULT_K = 7
+
+_MIX1 = np.uint64(0xFF51AFD7ED558CCD)
+_MIX2 = np.uint64(0xC4CEB9FE1A85EC53)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64-style avalanche over int64 url hashes (vectorized)."""
+    x = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x ^= x >> np.uint64(33)
+        x *= _MIX1
+        x ^= x >> np.uint64(33)
+        x *= _MIX2
+        x ^= x >> np.uint64(33)
+    return x
+
+
+def _bit_positions(hashes: np.ndarray, k: int, m_bits: int) -> np.ndarray:
+    """(n, k) bit positions via double hashing h1 + i*h2 (Kirsch-Mitzenmacher)."""
+    u = hashes.astype(np.uint64)
+    h1 = _mix64(u)
+    h2 = _mix64(u ^ np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[None, :]
+    with np.errstate(over="ignore"):
+        return ((h1[:, None] + i * h2[:, None]) % np.uint64(m_bits)).astype(np.int64)
+
+
+class BloomShardSet:
+    """n_shards independent blooms keyed by url_hash % n_shards."""
+
+    def __init__(self, n_shards: int = DEFAULT_SHARDS, m_bits: int = DEFAULT_BITS_PER_SHARD, k: int = DEFAULT_K):
+        self.n_shards = n_shards
+        self.m_bits = m_bits
+        self.k = k
+        self.bitmaps: dict[int, np.ndarray] = {}  # shard -> uint8[m_bits/8]
+        self.counts: dict[int, int] = {}
+
+    # -- construction -------------------------------------------------
+    def add_hashes(self, hashes: np.ndarray) -> None:
+        hashes = np.asarray(hashes, dtype=np.int64)
+        shards = (hashes.astype(np.uint64) % np.uint64(self.n_shards)).astype(np.int64)
+        for s in np.unique(shards):
+            hs = hashes[shards == s]
+            bm = self.bitmaps.get(int(s))
+            if bm is None:
+                bm = np.zeros(self.m_bits // 8, dtype=np.uint8)
+                self.bitmaps[int(s)] = bm
+            pos = _bit_positions(hs, self.k, self.m_bits).ravel()
+            np.bitwise_or.at(bm, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+            self.counts[int(s)] = self.counts.get(int(s), 0) + len(hs)
+
+    def merge(self, other: "BloomShardSet") -> "BloomShardSet":
+        assert (self.n_shards, self.m_bits, self.k) == (other.n_shards, other.m_bits, other.k)
+        for s, bm in other.bitmaps.items():
+            if s in self.bitmaps:
+                np.bitwise_or(self.bitmaps[s], bm, out=self.bitmaps[s])
+            else:
+                self.bitmaps[s] = bm.copy()
+            self.counts[s] = self.counts.get(s, 0) + other.counts.get(s, 0)
+        return self
+
+    # -- query --------------------------------------------------------
+    def maybe_contains(self, hashes: np.ndarray) -> np.ndarray:
+        """Vectorized membership: True = maybe seen, False = definitely new."""
+        hashes = np.asarray(hashes, dtype=np.int64)
+        out = np.zeros(len(hashes), dtype=bool)
+        if not self.bitmaps:
+            return out
+        shards = (hashes.astype(np.uint64) % np.uint64(self.n_shards)).astype(np.int64)
+        for s in np.unique(shards):
+            bm = self.bitmaps.get(int(s))
+            if bm is None:
+                continue
+            mask = shards == s
+            pos = _bit_positions(hashes[mask], self.k, self.m_bits)
+            bits = (bm[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+            out[mask] = bits.all(axis=1)
+        return out
+
+    # -- (de)serialization ---------------------------------------------
+    def to_rows(self) -> list[tuple[int, bytes, int]]:
+        return [
+            (s, self.bitmaps[s].tobytes(), self.counts.get(s, 0))
+            for s in sorted(self.bitmaps)
+        ]
+
+    @classmethod
+    def from_rows(cls, rows, n_shards: int = DEFAULT_SHARDS, m_bits: int = DEFAULT_BITS_PER_SHARD, k: int = DEFAULT_K) -> "BloomShardSet":
+        bs = cls(n_shards, m_bits, k)
+        for shard, bitmap, n in rows:
+            bm = np.frombuffer(bytes(bitmap), dtype=np.uint8).copy()
+            if shard in bs.bitmaps:
+                np.bitwise_or(bs.bitmaps[shard], bm, out=bs.bitmaps[shard])
+                bs.counts[shard] += int(n)
+            else:
+                bs.bitmaps[shard] = bm
+                bs.counts[shard] = int(n)
+        return bs
+
+    def fpp(self, shard: int) -> float:
+        """Theoretical false-positive rate of one shard."""
+        n = self.counts.get(shard, 0)
+        return (1.0 - math.exp(-self.k * n / self.m_bits)) ** self.k
+
+
+def build_bloom_rows(seen_delta: DataFrame, n_shards: int = DEFAULT_SHARDS, m_bits: int = DEFAULT_BITS_PER_SHARD, k: int = DEFAULT_K) -> DataFrame:
+    """Distributed bloom build: group the wave's seen-delta by shard and
+    emit one (shard, bitmap, n_items) row per shard via applyInPandas.
+    Shard-local memory = m_bits/8 regardless of total seen-set size."""
+    import pandas as pd
+
+    def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        bs = BloomShardSet(n_shards, m_bits, k)
+        bs.add_hashes(pdf["url_hash"].to_numpy(dtype=np.int64))
+        rows = bs.to_rows()
+        return pd.DataFrame(rows, columns=["shard", "bitmap", "n_items"])
+
+    return (
+        seen_delta.select("url_hash")
+        .withColumn("shard", F.pmod(F.col("url_hash"), F.lit(n_shards)).cast("int"))
+        .groupBy("shard")
+        .applyInPandas(per_shard, schema=BLOOM_SHARDS)
+    )
+
+
+def antijoin_unseen(candidates: DataFrame, seen: DataFrame, bloom: BloomShardSet | None = None) -> DataFrame:
+    """Rows of ``candidates`` whose url is NOT in ``seen`` (exact).
+
+    With a bloom, definitely-new candidates bypass the anti-join shuffle;
+    only maybe-seen candidates join against the seen table. Correct for
+    any bloom contents because blooms have no false negatives.
+    ``candidates`` must carry ``url_hash`` (xxhash64 of url).
+    """
+    seen_urls = seen.select("url")
+    if bloom is None or not bloom.bitmaps:
+        return candidates.join(seen_urls, "url", "left_anti")
+
+    spark = candidates.sparkSession
+    b = spark.sparkContext.broadcast(bloom.to_rows())
+    n_shards, m_bits, k = bloom.n_shards, bloom.m_bits, bloom.k
+
+    def check(batch_iter):
+        bs = BloomShardSet.from_rows(b.value, n_shards, m_bits, k)
+        for pdf in batch_iter:
+            pdf = pdf.copy()
+            pdf["maybe_seen"] = bs.maybe_contains(pdf["url_hash"].to_numpy(dtype=np.int64))
+            yield pdf
+
+    in_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields
+    )
+    flagged = candidates.mapInPandas(check, schema=f"{in_ddl}, maybe_seen boolean")
+    definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    maybe = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+    return definitely_new.unionByName(maybe.join(seen_urls, "url", "left_anti"))
+
+
+# ---------------------------------------------------------------------------
+# Cuckoo-filter spill tier (deletable membership for recent waves)
+# ---------------------------------------------------------------------------
+
+
+class CuckooFilter:
+    """Minimal cuckoo filter: 2 candidate buckets, 4 slots, 16-bit
+    fingerprints, deterministic eviction (seeded by the filter itself,
+    no wall-clock / random state — reproducible across runs).
+
+    Used as the deletable tier for the current wave's freshly discovered
+    urls: if a wave aborts before commit, its entries are removed instead
+    of poisoning the immutable bloom tier. Spills to the same
+    (shard, bitmap, n_items) binary row format as the blooms.
+    """
+
+    SLOTS = 4
+    MAX_KICKS = 250
+
+    def __init__(self, n_buckets: int = 1 << 14):
+        assert n_buckets & (n_buckets - 1) == 0, "n_buckets must be a power of two"
+        self.n_buckets = n_buckets
+        self.table = np.zeros((n_buckets, self.SLOTS), dtype=np.uint16)
+        self.n_items = 0
+        self._kick_state = np.uint64(0x243F6A8885A308D3)
+
+    def _fp_and_buckets(self, h: int) -> tuple[np.uint16, int, int]:
+        mixed = _mix64(np.array([h], dtype=np.int64))[0]
+        fp = np.uint16((mixed & np.uint64(0xFFFF)) or 1)
+        i1 = int(mixed >> np.uint64(16)) & (self.n_buckets - 1)
+        fph = int(_mix64(np.array([int(fp)], dtype=np.int64))[0])
+        i2 = (i1 ^ fph) & (self.n_buckets - 1)
+        return fp, i1, i2
+
+    def add(self, h: int) -> bool:
+        fp, i1, i2 = self._fp_and_buckets(h)
+        for i in (i1, i2):
+            empty = np.where(self.table[i] == 0)[0]
+            if len(empty):
+                self.table[i, empty[0]] = fp
+                self.n_items += 1
+                return True
+        # deterministic eviction walk
+        i = i1
+        cur = fp
+        for kick in range(self.MAX_KICKS):
+            self._kick_state = _mix64(np.array([int(self._kick_state) + kick], dtype=np.int64))[0]
+            slot = int(self._kick_state) % self.SLOTS
+            cur, self.table[i, slot] = self.table[i, slot], cur
+            fph = int(_mix64(np.array([int(cur)], dtype=np.int64))[0])
+            i = (i ^ fph) & (self.n_buckets - 1)
+            empty = np.where(self.table[i] == 0)[0]
+            if len(empty):
+                self.table[i, empty[0]] = cur
+                self.n_items += 1
+                return True
+        return False  # full — caller should spill to a bigger filter
+
+    def contains(self, h: int) -> bool:
+        fp, i1, i2 = self._fp_and_buckets(h)
+        return bool((self.table[i1] == fp).any() or (self.table[i2] == fp).any())
+
+    def delete(self, h: int) -> bool:
+        fp, i1, i2 = self._fp_and_buckets(h)
+        for i in (i1, i2):
+            hit = np.where(self.table[i] == fp)[0]
+            if len(hit):
+                self.table[i, hit[0]] = 0
+                self.n_items -= 1
+                return True
+        return False
+
+    def to_rows(self, shard: int = 0) -> list[tuple[int, bytes, int]]:
+        return [(shard, self.table.tobytes(), self.n_items)]
+
+    @classmethod
+    def from_rows(cls, rows, n_buckets: int = 1 << 14) -> "CuckooFilter":
+        cf = cls(n_buckets)
+        for _shard, blob, n in rows:
+            cf.table = np.frombuffer(bytes(blob), dtype=np.uint16).reshape(n_buckets, cls.SLOTS).copy()
+            cf.n_items = int(n)
+        return cf

@@ -1,0 +1,158 @@
+"""ManifestParquetCatalog — Iceberg-semantics table storage on parquet.
+
+No Iceberg runtime jar ships in this sandbox (verified: nothing under
+pyspark/jars), so snapshots/manifests/atomic-swap are implemented
+directly and the class is the drop-in point for a real Iceberg catalog
+later (same commit API).
+
+Guarantees needed by the north rule:
+- **atomic multi-table wave commit**: all of a wave's deltas (frontier,
+  seen, articles, metrics, bloom shards) land in ONE snapshot; the
+  snapshot becomes visible via an atomic ``os.replace`` of the current
+  pointer. A crash mid-wave leaves only orphan data files; state is
+  unchanged and the wave re-runs idempotently.
+- **per-partition lineage**: each table write records its parquet files
+  with per-file rows/bytes and min/max url_hash (when present), plus the
+  wave id and parent snapshot — enough to trace any partition of any
+  table back through the wave that produced it.
+- **resumability**: the snapshot stores the last committed wave index;
+  a rerun continues from there (replaying a committed wave is a no-op).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+class ManifestParquetCatalog:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
+
+    # -- snapshot pointer ------------------------------------------------
+    def _pointer_path(self) -> str:
+        return os.path.join(self.root, "_current.json")
+
+    def current_snapshot(self) -> dict | None:
+        p = self._pointer_path()
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            ptr = json.load(f)
+        with open(ptr["snapshot_path"]) as f:
+            return json.load(f)
+
+    def last_wave_index(self) -> int:
+        snap = self.current_snapshot()
+        return -1 if snap is None else snap.get("wave_index", -1)
+
+    # -- reads -------------------------------------------------------------
+    def table_files(self, table: str) -> list[str]:
+        snap = self.current_snapshot()
+        if snap is None:
+            return []
+        files = snap["tables"].get(table, {}).get("files", [])
+        return [f["path"] for f in files]
+
+    def read(self, spark: SparkSession, table: str, schema: T.StructType) -> DataFrame:
+        files = self.table_files(table)
+        if not files:
+            return spark.createDataFrame([], schema=schema)
+        return spark.read.schema(schema).parquet(*files)
+
+    def table_stats(self, table: str) -> dict:
+        snap = self.current_snapshot()
+        if snap is None:
+            return {}
+        return snap["tables"].get(table, {})
+
+    # -- commits -------------------------------------------------------------
+    def begin(self) -> "WaveCommit":
+        return WaveCommit(self)
+
+
+class WaveCommit:
+    def __init__(self, catalog: ManifestParquetCatalog):
+        self.catalog = catalog
+        self._writes: list[tuple[str, str, list[dict], int]] = []  # (table, mode, files, rows)
+
+    def write(self, table: str, df: DataFrame, mode: str = "append") -> int:
+        """Stage a table delta. mode='append' adds to the table's live file
+        set; mode='overwrite' replaces it. Returns rows written."""
+        assert mode in ("append", "overwrite")
+        out_dir = os.path.join(
+            self.catalog.root, table, "data", f"{uuid.uuid4().hex[:12]}"
+        )
+        has_hash = "url_hash" in df.columns
+        df.write.mode("overwrite").parquet(out_dir)
+
+        # per-file lineage from parquet footers (no extra Spark jobs):
+        # rows + bytes per file; min/max url_hash from row-group stats
+        import pyarrow.parquet as pq
+
+        files: list[dict] = []
+        total_rows = 0
+        for fn in sorted(os.listdir(out_dir)):
+            if not fn.endswith(".parquet"):
+                continue
+            path = os.path.join(out_dir, fn)
+            meta = pq.ParquetFile(path).metadata
+            entry = {
+                "path": path,
+                "rows": meta.num_rows,
+                "bytes": os.path.getsize(path),
+            }
+            if has_hash and meta.num_rows:
+                names = [meta.schema.column(i).name for i in range(meta.num_columns)]
+                ci = names.index("url_hash")
+                los, his = [], []
+                for rg in range(meta.num_row_groups):
+                    st = meta.row_group(rg).column(ci).statistics
+                    if st is not None and st.has_min_max:
+                        los.append(st.min)
+                        his.append(st.max)
+                if los:
+                    entry["min_url_hash"] = min(los)
+                    entry["max_url_hash"] = max(his)
+            files.append(entry)
+            total_rows += meta.num_rows
+        self._writes.append((table, mode, files, total_rows))
+        return total_rows
+
+    def commit(self, wave_id: str, wave_index: int, metrics: dict | None = None) -> dict:
+        parent = self.catalog.current_snapshot()
+        tables: dict = {} if parent is None else {k: dict(v) for k, v in parent["tables"].items()}
+        for table, mode, files, rows in self._writes:
+            prev = tables.get(table, {"files": [], "rows": 0})
+            if mode == "overwrite":
+                tables[table] = {"files": files, "rows": rows}
+            else:
+                tables[table] = {
+                    "files": prev["files"] + files,
+                    "rows": prev.get("rows", 0) + rows,
+                }
+        snap_id = (0 if parent is None else parent["snapshot_id"] + 1)
+        snapshot = {
+            "snapshot_id": snap_id,
+            "parent_snapshot_id": None if parent is None else parent["snapshot_id"],
+            "wave_id": wave_id,
+            "wave_index": wave_index,
+            "committed_at": time.time(),
+            "metrics": metrics or {},
+            "tables": tables,
+        }
+        snap_path = os.path.join(self.catalog.root, "snapshots", f"{snap_id:08d}.json")
+        with open(snap_path, "w") as f:
+            json.dump(snapshot, f)
+        # atomic pointer swap — the only visibility point
+        tmp = self.catalog._pointer_path() + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"snapshot_path": snap_path, "snapshot_id": snap_id}, f)
+        os.replace(tmp, self.catalog._pointer_path())
+        return snapshot

@@ -1,0 +1,228 @@
+"""One crawl wave as a declarative DataFrame plan, plus the multi-wave loop.
+
+Plan per wave (SURVEY.md §3.2 Spark lifecycle), replacing the
+reference's sequential scrape loop (/root/reference/ingest/
+get_all_articles.py:6-19 + classifier.py:194-320):
+
+    frontier snapshot
+      -> sort_key + first-wins dedup           (Window, F2)
+      -> bloom-prefiltered exact seen anti-join (J1/F1)
+      -> robots filter + per-host budget gate   (north-rule additions;
+                                                 no-ops in reference mode)
+      -> left join pages on url                 (the "fetch"; J4)
+      -> mapInPandas extract (title/text/clean/outlinks/skip)  (S14, P8, F4)
+      -> split: articles Δ | seen Δ | carry (fetch-fail or <100 chars,
+               retried next wave) | child frontier rows
+      -> atomic multi-table commit (frontier overwrite, seen/articles/
+         metrics append, bloom shards overwrite)
+
+Crash anywhere before commit leaves state untouched; re-running the wave
+is idempotent (the driver loop resumes from the snapshot's wave index).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import extract as ex
+from . import politeness, priority, seenset, synth
+from .reference_oracle import wave_id_for
+from .schema import ARTICLES, BLOOM_SHARDS, FRONTIER, SEEN, WAVE_METRICS
+from .storage import ManifestParquetCatalog
+
+FRONTIER_COLS = [f.name for f in FRONTIER.fields]
+
+
+def init_crawl(spark: SparkSession, catalog: ManifestParquetCatalog, seeds: DataFrame) -> None:
+    """Commit the seed frontier as snapshot 0 (wave_index=-1)."""
+    commit = catalog.begin()
+    commit.write("frontier", priority.seed_ord(seeds).select(*FRONTIER_COLS), mode="overwrite")
+    commit.commit(wave_id="init", wave_index=-1)
+
+
+def _load_bloom(spark: SparkSession, catalog: ManifestParquetCatalog) -> seenset.BloomShardSet | None:
+    rows = catalog.read(spark, "bloom_shards", BLOOM_SHARDS).collect()
+    if not rows:
+        return None
+    return seenset.BloomShardSet.from_rows([(r.shard, r.bitmap, r.n_items) for r in rows])
+
+
+def run_wave(
+    spark: SparkSession,
+    catalog: ManifestParquetCatalog,
+    pages: DataFrame,
+    wave_index: int,
+    min_text_chars: int = ex.MIN_TEXT_CHARS,
+    budget: int | None = None,
+    robots: DataFrame | None = None,
+    use_bloom: bool = True,
+) -> dict:
+    wid = wave_id_for(wave_index)
+    frontier = catalog.read(spark, "frontier", FRONTIER)
+    seen = catalog.read(spark, "seen", SEEN).filter(F.col("is_processed"))
+
+    n_frontier = frontier.count()
+
+    cands = priority.first_wins_dedup(priority.with_sort_key(frontier))
+    cands = cands.withColumn("url_hash", F.xxhash64("url"))
+
+    bloom = _load_bloom(spark, catalog) if use_bloom else None
+    unseen = seenset.antijoin_unseen(cands, seen, bloom)
+    unseen = politeness.robots_filter(unseen, robots)
+
+    if budget is not None:
+        gated = politeness.budget_gate(unseen, budget)
+        kept, deferred = politeness.split_budget(gated)
+    else:
+        kept, deferred = unseen, None
+
+    # the "fetch": frontier x pages on raw url. Left join so fetch
+    # failures (no page) stay visible and carry to the next wave.
+    fetched = kept.join(pages.select("url", "warc_ts", "html"), "url", "left")
+    in_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fetched.schema.fields)
+    extracted = fetched.mapInPandas(ex.extract_pages, schema=f"{in_ddl}, {ex.EXTRACT_COLUMNS}")
+    extracted = extracted.withColumn(
+        "yielded", F.length(F.coalesce(F.col("text"), F.lit(""))) >= min_text_chars
+    )
+    extracted.persist()
+    try:
+        yielded = extracted.filter(F.col("yielded"))
+
+        seen_delta = yielded.select(
+            "url",
+            "url_hash",
+            F.lit(wid).alias("discovered_wave"),
+            F.lit(wid).alias("processed_wave"),
+            F.lit(True).alias("is_processed"),
+            F.col(priority.SORT_KEY).alias("sort_key"),
+        )
+        articles = yielded.filter(~F.col("skip")).select(
+            "url",
+            "title",
+            "text",
+            "clean_text",
+            "source",
+            F.lit(wid).alias("wave_id"),
+            "warc_ts",
+            F.length("text").cast("long").alias("n_chars"),
+        )
+        carry = extracted.filter(~F.col("yielded")).select(*FRONTIER_COLS)
+        if deferred is not None:
+            carry = carry.unionByName(deferred.select(*FRONTIER_COLS))
+        children = priority.child_frontier(yielded).select(*FRONTIER_COLS)
+        new_frontier = carry.unionByName(children)
+
+        # metrics (A1-A3 analogs): per-source distribution of this wave's
+        # yielded urls, count-desc with first-seen (min sort_key) tie-break
+        # (reference Counter.most_common semantics, classifier.py:295-307).
+        dist_rows = (
+            yielded.groupBy("source")
+            .agg(F.count("*").alias("n"), F.min(priority.SORT_KEY).alias("first_seen"))
+            .orderBy(F.desc("n"), F.asc("first_seen"))
+            .collect()
+        )
+        n_yielded = sum(r.n for r in dist_rows)
+        dist = [
+            {
+                "source": r.source,
+                "count": r.n,
+                "percentage": round(100.0 * r.n / n_yielded, 2) if n_yielded else 0.0,
+            }
+            for r in dist_rows
+        ]
+        n_candidates = cands.count()
+        n_skipped = yielded.filter(F.col("skip")).count()
+        n_articles = n_yielded - n_skipped
+
+        commit = catalog.begin()
+        n_carry = commit.write("frontier", new_frontier, mode="overwrite")
+        commit.write("seen", seen_delta, mode="append")
+        commit.write("articles", articles, mode="append")
+
+        n_children = children.count()
+        metrics = {
+            "wave_id": wid,
+            "n_frontier": n_frontier,
+            "n_candidates": n_candidates,
+            "n_yielded": n_yielded,
+            "n_skipped": n_skipped,
+            "n_articles": n_articles,
+            "n_carry": n_carry - n_children,
+            "n_new_outlinks": n_children,
+            "source_distribution": json.dumps(dist),
+        }
+        metrics_df = spark.createDataFrame(
+            [tuple(metrics[f.name] for f in WAVE_METRICS.fields)], schema=WAVE_METRICS
+        )
+        commit.write("wave_metrics", metrics_df, mode="append")
+
+        if use_bloom:
+            delta_rows = seenset.build_bloom_rows(seen_delta)
+            if bloom is not None:
+                merged = seenset.BloomShardSet.from_rows(
+                    [(r.shard, r.bitmap, r.n_items) for r in delta_rows.collect()]
+                ).merge(bloom)
+                merged_df = spark.createDataFrame(merged.to_rows(), schema=BLOOM_SHARDS)
+            else:
+                merged_df = delta_rows
+            commit.write("bloom_shards", merged_df, mode="overwrite")
+
+        commit.commit(wave_id=wid, wave_index=wave_index, metrics=metrics)
+        return metrics
+    finally:
+        extracted.unpersist()
+
+
+def run_crawl(
+    spark: SparkSession,
+    catalog: ManifestParquetCatalog,
+    cfg: synth.SynthConfig,
+    n_waves: int | None = None,
+    pages: DataFrame | None = None,
+    budget: int | None = None,
+    robots: DataFrame | None = None,
+    use_bloom: bool = True,
+) -> list[dict]:
+    """Run (or resume) a crawl. Already-committed waves are skipped —
+    replaying is a no-op, which is the resume/idempotence guarantee."""
+    n_waves = n_waves if n_waves is not None else cfg.n_waves
+    if pages is None:
+        pages = synth.build_pages_df(spark, cfg)
+    if catalog.current_snapshot() is None:
+        init_crawl(spark, catalog, synth.build_seeds_df(spark, cfg))
+    out = []
+    for w in range(catalog.last_wave_index() + 1, n_waves):
+        out.append(
+            run_wave(
+                spark,
+                catalog,
+                pages,
+                w,
+                min_text_chars=cfg.min_text_chars,
+                budget=budget,
+                robots=robots,
+                use_bloom=use_bloom,
+            )
+        )
+    return out
+
+
+def read_articles(spark: SparkSession, catalog: ManifestParquetCatalog) -> DataFrame:
+    return catalog.read(spark, "articles", ARTICLES)
+
+
+def read_seen(spark: SparkSession, catalog: ManifestParquetCatalog) -> DataFrame:
+    return catalog.read(spark, "seen", SEEN)
+
+
+def crawl_order(spark: SparkSession, catalog: ManifestParquetCatalog) -> list[tuple[str, str]]:
+    """(wave_id, url) global crawl sequence, reconstructed from the
+    persisted per-yield sort keys — the fixture the oracle's
+    ``WaveResult.crawl_order`` is diffed against."""
+    seen = read_seen(spark, catalog)
+    return [
+        (r.processed_wave, r.url)
+        for r in seen.orderBy("processed_wave", "sort_key").collect()
+    ]

@@ -1,0 +1,99 @@
+"""Pure extraction/cleaning semantics (no Spark)."""
+
+from newscrawl import extract as ex
+from newscrawl import synth
+
+
+HTML = b"""<!doctype html>
+<html><head><title>T | src</title></head>
+<body>
+<nav class="site-nav"><a href="/news">news</a><a href="/about">About</a></nav>
+<div class="cookie-banner">We use cookies on our site.</div>
+<article>
+<h1>Big Story</h1>
+<p>First paragraph words here.</p>
+<p>Second paragraph with link https://x.example.com/a inline.</p>
+<div class="related"><a href="https://h/x-1">R0</a><a href="https://h/x-2">R1</a><a href="https://h/x-1">dup</a></div>
+</article>
+<footer>Follow us on social media. Subscribe to our newsletter.</footer>
+</body></html>
+"""
+
+
+def test_extract_text_selects_article_only():
+    text = ex.extract_text(HTML)
+    assert text.startswith("Big Story")
+    assert "First paragraph" in text and "Second paragraph" in text
+    # boilerplate outside <article> never extracted
+    assert "cookie" not in text.lower()
+    assert "Follow us on social media" not in text
+    assert ex.extract_text(b"<html><body>no article</body></html>") == ""
+    assert ex.extract_text(None) == ""
+
+
+def test_extract_title():
+    assert ex.extract_title(HTML) == "Big Story"
+    assert ex.extract_title(b"<p>x</p>") is None
+
+
+def test_discover_outlinks_order_and_dedup():
+    # document order, first-occurrence dedup (reference in-page sets,
+    # custom_scrapers.py:353-367); nav links excluded
+    assert ex.discover_outlinks(HTML) == ["https://h/x-1", "https://h/x-2"]
+
+
+def test_clean_text_removes_urls_and_junk_lines():
+    raw = "Title\n\nGood para.\n\nread https://a.b/c now\n\nFollow us on X\n\n\n\nEnd."
+    cleaned = ex.clean_text(raw)
+    assert "https://" not in cleaned
+    assert "Follow us" not in cleaned
+    assert "\n\n\n" not in cleaned
+    assert cleaned.startswith("Title") and cleaned.endswith("End.")
+    assert ex.clean_text(None) == ""
+
+
+def test_skip_title_case_insensitive():
+    assert ex.is_skip_title("SIGN UP FOR OUR NEWSLETTER today")
+    assert not ex.is_skip_title("Normal headline")
+    assert not ex.is_skip_title(None)
+
+
+def test_synth_page_is_pure_and_consistent():
+    cfg = synth.SynthConfig()
+    url = synth.url_for("bbc", "news", 1)
+    p1 = synth.page_for_url(url, cfg)
+    p2 = synth.page_for_url(url, cfg)
+    assert p1.html == p2.html and p1.text == p2.text and p1.warc_ts == p2.warc_ts
+    # ground-truth text IS the extractor output (byte-identical invariant)
+    assert ex.extract_text(p1.html) == p1.text
+    assert synth.parse_url(url) == ("bbc", "news", 1)
+
+
+def test_synth_failure_and_variant_pages():
+    cfg = synth.SynthConfig()
+    # idx % 13 == 5 -> fetch failure
+    assert synth.page_for_url(synth.url_for("bbc", "news", 5), cfg) is None
+    # idx % 11 == 3 -> short page (below min chars)
+    short = synth.page_for_url(synth.url_for("cnn", "news", 3), cfg)
+    assert short is not None and len(short.text) < cfg.min_text_chars
+    # idx % 10 == 7 -> boilerplate title
+    skip = synth.page_for_url(synth.url_for("cnn", "news", 7), cfg)
+    assert ex.is_skip_title(ex.extract_title(skip.html))
+    # foreign url -> not in corpus
+    assert synth.page_for_url("https://elsewhere.com/a/b-1", cfg) is None
+
+
+def test_outlinks_stay_in_universe():
+    cfg = synth.SynthConfig()
+    for src, _host, sections in synth.SOURCES:
+        for sec in sections:
+            for i in range(cfg.n_total):
+                p = synth.page_for_url(synth.url_for(src, sec, i), cfg)
+                if p is None:
+                    continue
+                for link in ex.discover_outlinks(p.html):
+                    parsed = synth.parse_url(link)
+                    assert parsed is not None
+                    s2, _sec2, idx2 = parsed
+                    lim = cfg.hot_universe if s2 == synth.HOT_SOURCE else cfg.n_total
+                    assert 0 <= idx2 < lim

@@ -1,0 +1,111 @@
+"""The north-star assertions: Spark engine vs reference oracle —
+crawl order, seen-set membership, extracted-text bytes (sha256) —
+plus parallelism invariance.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from newscrawl import reference_oracle as ro
+from newscrawl import synth, wave
+from newscrawl.storage import ManifestParquetCatalog
+
+CFG = synth.SynthConfig()
+
+
+@pytest.fixture(scope="module")
+def crawl(spark, tmp_path_factory):
+    catalog = ManifestParquetCatalog(str(tmp_path_factory.mktemp("catalog")))
+    metrics = wave.run_crawl(spark, catalog, CFG)
+    oracle = ro.run_oracle(CFG)
+    return catalog, metrics, oracle
+
+
+def test_crawl_order_matches_oracle(spark, crawl):
+    catalog, _metrics, oracle = crawl
+    got = wave.crawl_order(spark, catalog)
+    want = [(w.wave_id, u) for w in oracle.waves for u in w.crawl_order]
+    assert got == want
+
+
+def test_seen_set_matches_oracle(spark, crawl):
+    catalog, _metrics, oracle = crawl
+    rows = wave.read_seen(spark, catalog).collect()
+    got = {r.url: (r.discovered_wave, r.processed_wave) for r in rows}
+    assert got == oracle.seen
+    assert all(r.is_processed for r in rows)
+
+
+def test_text_bytes_match_oracle_and_ground_truth(spark, crawl):
+    catalog, _metrics, oracle = crawl
+    arts = wave.read_articles(spark, catalog).collect()
+    assert arts
+    for r in arts:
+        sha = hashlib.sha256(r.text.encode("utf-8")).hexdigest()
+        assert sha == oracle.text_sha[r.url], r.url
+        # and equal to the corpus ground-truth text column byte-for-byte
+        page = synth.page_for_url(r.url, CFG)
+        assert r.text == page.text
+
+
+def test_articles_match_oracle_fully(spark, crawl):
+    catalog, _metrics, oracle = crawl
+    got = {
+        r.url: (r.title, r.text, r.clean_text, r.source, r.wave_id, r.n_chars)
+        for r in wave.read_articles(spark, catalog).collect()
+    }
+    want = {
+        a["url"]: (
+            a["title"],
+            a["text"],
+            a["clean_text"],
+            a["source"],
+            a["wave_id"],
+            a["n_chars"],
+        )
+        for w in oracle.waves
+        for a in w.articles
+    }
+    assert got == want
+
+
+def test_wave_metrics_match_oracle(spark, crawl):
+    _catalog, metrics, oracle = crawl
+    assert len(metrics) == len(oracle.waves)
+    for m, w in zip(metrics, oracle.waves):
+        assert m["wave_id"] == w.wave_id
+        assert m["n_candidates"] == w.n_candidates
+        assert m["n_yielded"] == len(w.crawl_order)
+        assert m["n_skipped"] == w.n_skipped
+        assert m["n_articles"] == len(w.articles)
+        assert m["n_carry"] == w.n_carry
+        assert m["n_new_outlinks"] == w.n_new_outlinks
+
+
+def test_parallelism_invariance(spark, tmp_path):
+    """Outputs identical under different shuffle partitioning — ordering
+    comes from sort keys, never partition iteration order."""
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    results = []
+    for parts in ("1", "7"):
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        try:
+            cat = ManifestParquetCatalog(str(tmp_path / f"cat{parts}"))
+            wave.run_crawl(spark, cat, CFG, n_waves=2)
+            results.append(wave.crawl_order(spark, cat))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert results[0] == results[1]
+    oracle = ro.run_oracle(CFG, n_waves=2)
+    assert results[0] == [(w.wave_id, u) for w in oracle.waves for u in w.crawl_order]
+
+
+def test_no_bloom_same_result(spark, tmp_path):
+    cat = ManifestParquetCatalog(str(tmp_path / "nobloom"))
+    wave.run_crawl(spark, cat, CFG, n_waves=2, use_bloom=False)
+    oracle = ro.run_oracle(CFG, n_waves=2)
+    got = wave.crawl_order(spark, cat)
+    assert got == [(w.wave_id, u) for w in oracle.waves for u in w.crawl_order]
