@@ -46,15 +46,24 @@ def robots_filter(candidates: DataFrame, robots: DataFrame | None) -> DataFrame:
     return allowed.drop("disallow", "_path")
 
 
-def budget_gate(candidates: DataFrame, budget: int | None, n_salts: int = N_SALTS) -> DataFrame:
-    """Keep the top-``budget`` candidates per host by sort_key.
+def budget_gate(
+    candidates: DataFrame, budget: int | None, n_salts: int = N_SALTS
+) -> tuple[DataFrame, DataFrame]:
+    """Top-``budget`` candidates per host by sort_key -> (kept, deferred).
 
-    Returns (kept, deferred): deferred rows stay in the frontier for the
-    next wave (the reference analog: a homepage link not fetched this run
-    is fetched on a later run).
+    Deferred rows stay in the frontier for the next wave (the reference
+    analog: a homepage link not fetched this run is fetched on a later
+    run). Two-phase ranking defuses host skew: phase 1 ranks within
+    (host, salt) and pre-prunes to ``budget`` rows per salt — any row in
+    a host's true top-``budget`` is necessarily within its salt's
+    top-``budget``, so the prune is lossless for phase 2, which re-ranks
+    at most budget*n_salts rows per host for the exact answer. The
+    deferred set is recovered with an anti-join against the (small) kept
+    set rather than by tagging, so no Window ever sees a full hot-host
+    partition.
     """
     if budget is None:
-        return candidates
+        return candidates, None
     df = candidates if SORT_KEY in candidates.columns else with_sort_key(candidates)
     df = df if "host" in df.columns else with_host(df)
 
@@ -64,16 +73,14 @@ def budget_gate(candidates: DataFrame, budget: int | None, n_salts: int = N_SALT
         F.col("_rn1") <= budget
     )
     w2 = W.partitionBy("host").orderBy(SORT_KEY)
-    return (
+    kept = (
         pruned.withColumn("_rn2", F.row_number().over(w2))
-        .withColumn("_kept", F.col("_rn2") <= budget)
-        .drop("_rn1")
+        .filter(F.col("_rn2") <= budget)
+        .drop("_rn1", "_rn2", "host")
     )
-
-
-def split_budget(gated: DataFrame) -> tuple[DataFrame, DataFrame]:
-    kept = gated.filter(F.col("_kept")).drop("_rn2", "_kept", "host")
-    deferred = gated.filter(~F.col("_kept")).drop("_rn2", "_kept", "host")
+    deferred = df.drop("host").join(
+        F.broadcast(kept.select("url")), "url", "left_anti"
+    )
     return kept, deferred
 
 

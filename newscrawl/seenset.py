@@ -238,7 +238,9 @@ class CuckooFilter:
         i = i1
         cur = fp
         for kick in range(self.MAX_KICKS):
-            self._kick_state = _mix64(np.array([int(self._kick_state) + kick], dtype=np.int64))[0]
+            self._kick_state = _mix64(
+                np.array([(int(self._kick_state) + kick) & 0xFFFFFFFFFFFFFFFF], dtype=np.uint64)
+            )[0]
             slot = int(self._kick_state) % self.SLOTS
             cur, self.table[i, slot] = self.table[i, slot], cur
             fph = int(_mix64(np.array([int(cur)], dtype=np.int64))[0])

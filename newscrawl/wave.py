@@ -72,11 +72,7 @@ def run_wave(
     unseen = seenset.antijoin_unseen(cands, seen, bloom)
     unseen = politeness.robots_filter(unseen, robots)
 
-    if budget is not None:
-        gated = politeness.budget_gate(unseen, budget)
-        kept, deferred = politeness.split_budget(gated)
-    else:
-        kept, deferred = unseen, None
+    kept, deferred = politeness.budget_gate(unseen, budget)
 
     # the "fetch": frontier x pages on raw url. Left join so fetch
     # failures (no page) stay visible and carry to the next wave.

@@ -1,0 +1,98 @@
+"""Budget gate (salted two-phase == naive per-host top-k), robots filter,
+and skew behavior on the hot host."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W, functions as F
+
+from newscrawl import politeness, priority, synth, wave
+from newscrawl.schema import ROBOTS
+from newscrawl.storage import ManifestParquetCatalog
+
+
+def _frontier(spark, n=300):
+    rows = []
+    for i in range(n):
+        host_id = 0 if i % 2 == 0 else (i % 5)  # host 0 is hot (half the rows)
+        rows.append(
+            (
+                f"https://h{host_id}.example.com/s/p-{i}",
+                "src",
+                i % 3,
+                "sec",
+                i % 4,
+                str(i).zfill(12),
+            )
+        )
+    from newscrawl.schema import FRONTIER
+
+    return spark.createDataFrame(rows, schema=FRONTIER)
+
+
+def test_budget_gate_equals_naive_topk(spark):
+    df = priority.with_sort_key(_frontier(spark))
+    kept, deferred = politeness.budget_gate(df, budget=7)
+
+    naive = politeness.with_host(df).withColumn(
+        "_rn", F.row_number().over(W.partitionBy("host").orderBy(priority.SORT_KEY))
+    )
+    want_kept = {r.url for r in naive.filter(F.col("_rn") <= 7).collect()}
+    assert {r.url for r in kept.collect()} == want_kept
+    assert {r.url for r in deferred.collect()} == {
+        r.url for r in naive.filter(F.col("_rn") > 7).collect()
+    }
+
+
+def test_budget_gate_respects_sort_key_priority(spark):
+    df = priority.with_sort_key(_frontier(spark, n=60))
+    kept, _ = politeness.budget_gate(df, budget=3)
+    per_host = {}
+    for r in politeness.with_host(kept).collect():
+        per_host.setdefault(r.host, []).append(r.sort_key)
+    naive = politeness.with_host(df).collect()
+    for host, keys in per_host.items():
+        all_keys = sorted(r.sort_key for r in naive if r.host == host)
+        assert sorted(keys) == all_keys[:3]
+
+
+def test_robots_filter(spark):
+    df = _frontier(spark, n=40)
+    robots = spark.createDataFrame(
+        [("h0.example.com", ["/s/"]), ("h1.example.com", ["/other/"])], schema=ROBOTS
+    )
+    out = politeness.robots_filter(df, robots).collect()
+    assert all(not r.url.startswith("https://h0.example.com/") for r in out)
+    # h1 disallows a different prefix -> untouched; unknown hosts allowed
+    assert any(r.url.startswith("https://h1.example.com/") for r in out)
+    n_h0 = sum(1 for r in df.collect() if r.url.startswith("https://h0."))
+    assert len(out) == df.count() - n_h0
+
+
+def test_budgeted_crawl_defers_hot_host(spark, tmp_path):
+    """With hot links on, the unseeded hot host accumulates frontier rows;
+    a budget caps its per-wave fetches and defers the rest (deferred urls
+    are crawled in later waves, never lost)."""
+    cfg = synth.SynthConfig(n_seed=4, n_total=20, hot_links=True)
+    cat = ManifestParquetCatalog(str(tmp_path / "budg"))
+    wave.run_crawl(spark, cat, cfg, n_waves=4, budget=5)
+    seen = wave.read_seen(spark, cat).collect()
+    per_wave_hot = {}
+    for r in seen:
+        if "hot.example.com" in r.url:
+            per_wave_hot[r.processed_wave] = per_wave_hot.get(r.processed_wave, 0) + 1
+    assert per_wave_hot, "hot host must be crawled"
+    assert all(v <= 5 for v in per_wave_hot.values())
+
+
+def test_disabled_gate_is_reference_equivalent(spark, tmp_path):
+    from newscrawl import reference_oracle as ro
+
+    cfg = synth.SynthConfig()
+    cat = ManifestParquetCatalog(str(tmp_path / "ref"))
+    # budget=None, robots=None -> must equal the oracle exactly
+    robots_empty = spark.createDataFrame([], schema=ROBOTS)
+    wave.run_crawl(spark, cat, cfg, n_waves=2, robots=robots_empty)
+    oracle = ro.run_oracle(cfg, n_waves=2)
+    assert wave.crawl_order(spark, cat) == [
+        (w.wave_id, u) for w in oracle.waves for u in w.crawl_order
+    ]

@@ -1,0 +1,97 @@
+"""Bloom/cuckoo property tests: zero false negatives, anti-join exactness
+independent of bloom contents and shard count."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from newscrawl import seenset
+from newscrawl.schema import SEEN
+
+
+@given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), min_size=1, max_size=500))
+@settings(max_examples=50, deadline=None)
+def test_bloom_no_false_negatives(hashes):
+    bs = seenset.BloomShardSet(n_shards=4, m_bits=1 << 12, k=5)
+    arr = np.array(hashes, dtype=np.int64)
+    bs.add_hashes(arr)
+    assert bs.maybe_contains(arr).all()
+
+
+def test_bloom_roundtrip_and_merge():
+    a = seenset.BloomShardSet(n_shards=4, m_bits=1 << 12, k=5)
+    b = seenset.BloomShardSet(n_shards=4, m_bits=1 << 12, k=5)
+    ha = np.arange(0, 1000, dtype=np.int64)
+    hb = np.arange(1000, 2000, dtype=np.int64)
+    a.add_hashes(ha)
+    b.add_hashes(hb)
+    merged = seenset.BloomShardSet.from_rows(a.to_rows(), 4, 1 << 12, 5).merge(b)
+    assert merged.maybe_contains(ha).all() and merged.maybe_contains(hb).all()
+    # fpp sane on fresh values
+    fresh = np.arange(10_000, 30_000, dtype=np.int64)
+    fp_rate = merged.maybe_contains(fresh).mean()
+    assert fp_rate < 0.25
+
+
+def test_bloom_empty_contains_nothing():
+    bs = seenset.BloomShardSet()
+    assert not bs.maybe_contains(np.array([1, 2, 3], dtype=np.int64)).any()
+
+
+@pytest.mark.parametrize("n_shards", [1, 4, 16])
+def test_antijoin_exact_regardless_of_shards(spark, n_shards):
+    urls = [f"https://h{i % 7}.example.com/p/{i}" for i in range(200)]
+    cand = spark.createDataFrame([(u,) for u in urls], "url string").withColumn(
+        "url_hash", F.xxhash64("url")
+    )
+    seen_urls = urls[::3]
+    seen = spark.createDataFrame(
+        [(u, 0, "w0", "w0", True, None) for u in seen_urls], schema=SEEN
+    )
+    bloom_rows = seenset.build_bloom_rows(
+        cand.filter(F.col("url").isin(seen_urls)), n_shards=n_shards, m_bits=1 << 12
+    ).collect()
+    bloom = seenset.BloomShardSet.from_rows(
+        [(r.shard, r.bitmap, r.n_items) for r in bloom_rows], n_shards, 1 << 12
+    )
+    got = {r.url for r in seenset.antijoin_unseen(cand, seen, bloom).collect()}
+    want = set(urls) - set(seen_urls)
+    assert got == want
+    # and identical without the bloom (prefilter is an accelerator only)
+    got_nobloom = {r.url for r in seenset.antijoin_unseen(cand, seen, None).collect()}
+    assert got_nobloom == want
+
+
+def test_cuckoo_add_contains_delete():
+    cf = seenset.CuckooFilter(n_buckets=1 << 10)
+    hs = list(range(1, 1500))
+    ok = [cf.add(h) for h in hs]
+    assert all(ok)  # well under capacity
+    assert all(cf.contains(h) for h in hs)
+    for h in hs[:500]:
+        assert cf.delete(h)
+    # no false negatives on the remainder
+    assert all(cf.contains(h) for h in hs[500:])
+
+
+def test_cuckoo_roundtrip():
+    cf = seenset.CuckooFilter(n_buckets=1 << 10)
+    for h in range(100):
+        cf.add(h)
+    cf2 = seenset.CuckooFilter.from_rows(cf.to_rows(), n_buckets=1 << 10)
+    assert all(cf2.contains(h) for h in range(100))
+    assert cf2.n_items == cf.n_items
+
+
+def test_cuckoo_deterministic_under_eviction_pressure():
+    def build():
+        cf = seenset.CuckooFilter(n_buckets=1 << 6)  # tiny -> forces kicks
+        results = [cf.add(h * 2654435761) for h in range(200)]
+        return cf.table.tobytes(), results
+
+    t1, r1 = build()
+    t2, r2 = build()
+    assert t1 == t2 and r1 == r2  # eviction walk is seeded, not random

@@ -1,0 +1,86 @@
+"""Atomic commit, resume-from-checkpoint, idempotent replay, lineage."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from newscrawl import reference_oracle as ro
+from newscrawl import synth, wave
+from newscrawl.schema import SEEN
+from newscrawl.storage import ManifestParquetCatalog
+
+CFG = synth.SynthConfig()
+
+
+def test_resume_from_checkpoint_is_byte_identical(spark, tmp_path):
+    """Run 3 waves straight vs run 2, 'crash', resume -> identical state."""
+    cat_a = ManifestParquetCatalog(str(tmp_path / "a"))
+    wave.run_crawl(spark, cat_a, CFG, n_waves=3)
+
+    cat_b = ManifestParquetCatalog(str(tmp_path / "b"))
+    wave.run_crawl(spark, cat_b, CFG, n_waves=2)
+    # simulate process death + restart: a fresh catalog object over the same root
+    cat_b2 = ManifestParquetCatalog(str(tmp_path / "b"))
+    assert cat_b2.last_wave_index() == 1
+    wave.run_crawl(spark, cat_b2, CFG, n_waves=3)
+
+    assert wave.crawl_order(spark, cat_a) == wave.crawl_order(spark, cat_b2)
+    arts = lambda c: sorted(
+        (r.url, r.wave_id, r.text) for r in wave.read_articles(spark, c).collect()
+    )
+    assert arts(cat_a) == arts(cat_b2)
+
+
+def test_replay_committed_wave_is_noop(spark, tmp_path):
+    cat = ManifestParquetCatalog(str(tmp_path / "c"))
+    wave.run_crawl(spark, cat, CFG, n_waves=2)
+    before = wave.crawl_order(spark, cat)
+    snap_before = cat.current_snapshot()["snapshot_id"]
+    # asking for the same horizon again must do nothing
+    out = wave.run_crawl(spark, cat, CFG, n_waves=2)
+    assert out == []
+    assert cat.current_snapshot()["snapshot_id"] == snap_before
+    assert wave.crawl_order(spark, cat) == before
+
+
+def test_uncommitted_write_invisible(spark, tmp_path):
+    cat = ManifestParquetCatalog(str(tmp_path / "d"))
+    wave.run_crawl(spark, cat, CFG, n_waves=1)
+    seen_before = wave.read_seen(spark, cat).count()
+    # stage a write but never commit (the crash-mid-wave case)
+    commit = cat.begin()
+    extra = spark.createDataFrame([("https://x/y-1", 1, "w9", "w9", True, None)], schema=SEEN)
+    commit.write("seen", extra, mode="append")
+    # no commit() -> state unchanged
+    assert wave.read_seen(spark, cat).count() == seen_before
+
+
+def test_lineage_recorded(spark, tmp_path):
+    cat = ManifestParquetCatalog(str(tmp_path / "e"))
+    wave.run_crawl(spark, cat, CFG, n_waves=1)
+    snap = cat.current_snapshot()
+    assert snap["wave_id"] == "w0000" and snap["parent_snapshot_id"] == 0
+    seen_files = snap["tables"]["seen"]["files"]
+    assert seen_files
+    for f in seen_files:
+        assert os.path.exists(f["path"]) and f["bytes"] > 0
+        if f["rows"]:
+            assert f["min_url_hash"] <= f["max_url_hash"]
+    # metrics embedded in the snapshot
+    assert snap["metrics"]["n_yielded"] > 0
+    # snapshot chain intact on disk
+    snaps = sorted(os.listdir(os.path.join(str(tmp_path / "e"), "snapshots")))
+    assert len(snaps) == 2  # init + wave 0
+    with open(os.path.join(str(tmp_path / "e"), "snapshots", snaps[0])) as fh:
+        assert json.load(fh)["wave_id"] == "init"
+
+
+def test_oracle_parity_after_resume(spark, tmp_path):
+    cat = ManifestParquetCatalog(str(tmp_path / "f"))
+    wave.run_crawl(spark, cat, CFG, n_waves=1)
+    wave.run_crawl(spark, cat, CFG, n_waves=3)
+    oracle = ro.run_oracle(CFG, n_waves=3)
+    assert wave.crawl_order(spark, cat) == [
+        (w.wave_id, u) for w in oracle.waves for u in w.crawl_order
+    ]
