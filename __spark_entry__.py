@@ -1,38 +1,82 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship composite pipeline on sf0.001;
+``queries``/``oracle_sql`` expose the operator inventory of SURVEY.md §2
+plus the training-data-pipeline operators (dedup / similarity / text
+analysis), each with a DuckDB-equivalent oracle. The full crawl engine
+itself (frontier, seen-set, politeness, waves) is exercised by
+``crawl_wave_articles`` (rows-only check: the oracle is the committed
+pure-Python reference oracle under tests/, not SQL-expressible).
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from newscrawl.queries import QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: crawl-analog pipeline over sf0.001 documents — dedup
+    (first-wins), boilerplate + min-content gates, quality scoring, and
+    a per-source distribution (the reference classifier's wave summary,
+    classifier.py:295-307)."""
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    low = F.lower(F.col("text"))
+    kept = (
+        docs.filter(F.length("text") >= 100)
+        .filter(~(low.contains("subscribe") | low.contains("cookie")))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy(F.md5(F.encode(F.col("text"), "utf-8"))).orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    agg = kept.groupBy("source", "lang").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(F.length("text")), 2).alias("avg_chars"),
+    )
+    total = W.partitionBy()
+    return agg.select(
+        "source",
+        "lang",
+        "n",
+        "avg_chars",
+        F.round(F.lit(100.0) * F.col("n") / F.sum("n").over(total), 2).alias("pct"),
+    ).orderBy("source", "lang")
+
+
+def _crawl_wave_articles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real engine end-to-end at small scale: synthesize the page
+    corpus, run 2 crawl waves (frontier -> anti-join -> priority ->
+    fetch join -> extract UDF -> commit), return the articles table.
+    Deterministic; correctness vs the reference oracle is asserted by
+    tests/test_wave.py."""
+    from newscrawl import synth, wave
+    from newscrawl.storage import ManifestParquetCatalog
+
+    cfg = synth.SynthConfig(n_seed=2, n_total=12, n_waves=2)
+    catalog = ManifestParquetCatalog(tempfile.mkdtemp(prefix="newscrawl_entry_"))
+    wave.run_crawl(spark, catalog, cfg)
+    return wave.read_articles(spark, catalog).orderBy("wave_id", "url")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        name: fn for name, (fn, _sql) in QUERIES.items()
+    }
+    out["crawl_wave_articles"] = _crawl_wave_articles
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    # crawl_wave_articles intentionally omitted: its oracle is the
+    # pure-Python reference-control-flow oracle (newscrawl/
+    # reference_oracle.py), diffed in tests/test_wave.py.
+    return {name: sql for name, (_fn, sql) in QUERIES.items()}

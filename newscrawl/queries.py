@@ -1,0 +1,699 @@
+"""Operator inventory as (Spark DataFrame builder, DuckDB oracle SQL) pairs.
+
+Each entry re-expresses one operator family from SURVEY.md §2 (reference
+file:line cited per query) — plus the training-data-pipeline operators
+(dedup, similarity search, text analysis) — over the driver-provided
+tables at ``sf_dir``. Aliases match between Spark and SQL exactly
+(the driver hash-compares values after sorting columns by name).
+
+Every query is a pure read: declarative DataFrame plans, JVM-side
+built-ins only (no Python UDFs in any of these), so Catalyst gets full
+pushdown/pruning freedom.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+STOPWORDS = (
+    "the", "a", "of", "and", "to", "in", "for", "on", "is", "was",
+    "it", "that", "with", "as", "at", "by",
+)
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+N_MINHASH = 8  # 4 bands x 2 rows
+JACCARD_THRESHOLD = 0.10
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+# ---------------------------------------------------------------------------
+# F/J: filters, anti-join, dedup  (SURVEY.md §2.3, §2.6)
+# ---------------------------------------------------------------------------
+
+
+def q_seen_antijoin(spark, sf_dir):
+    """F1/J1: URL-seen anti-join (reference ingest/utils.py:7-13,
+    link_pool point lookups) — candidates minus the seen set."""
+    docs = _t(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    return docs.join(seen, "doc_id", "left_anti").select("doc_id", "source")
+
+
+SQL_SEEN_ANTIJOIN = """
+SELECT doc_id, source FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 3 = 0)
+"""
+
+
+def q_first_wins_dedup(spark, sf_dir):
+    """F2: first-wins dedup via Window row_number (reference
+    get_all_articles.py:14-17) — NOT dropDuplicates, which is
+    order-nondeterministic under shuffles."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+SQL_FIRST_WINS_DEDUP = """
+SELECT user_id, event_id, event_type FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+"""
+
+
+def q_skip_boilerplate_filter(spark, sf_dir):
+    """F4: boilerplate substring filter, case-insensitive
+    (reference classifier.py:64-71,214-224)."""
+    docs = _t(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    cond = (
+        low.contains("sign up")
+        | low.contains("subscribe")
+        | low.contains("cookie")
+        | low.contains("follow us")
+        | low.contains("share this")
+    )
+    return docs.filter(~cond).select("doc_id")
+
+
+SQL_SKIP_BOILERPLATE_FILTER = """
+SELECT doc_id FROM documents
+WHERE NOT (lower(text) LIKE '%sign up%' OR lower(text) LIKE '%subscribe%'
+        OR lower(text) LIKE '%cookie%' OR lower(text) LIKE '%follow us%'
+        OR lower(text) LIKE '%share this%')
+"""
+
+
+def q_min_content_filter(spark, sf_dir):
+    """F5/F6: minimum content length (reference
+    custom_scrapers.py:376-378: len(text) < 100 dropped)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 100)
+        .select("doc_id", F.length("text").cast("long").alias("text_len"))
+    )
+
+
+SQL_MIN_CONTENT_FILTER = """
+SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len
+FROM documents WHERE length(text) >= 100
+"""
+
+
+def q_regex_source_filter(spark, sf_dir):
+    """F8/A6: regex predicate + distinct (reference crawler_dw.py:32-37
+    rlike patterns; articles_repository.py:26-29 distinct-with-regex)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("source").rlike("^src1[0-9]$"))
+        .select("source")
+        .distinct()
+    )
+
+
+SQL_REGEX_SOURCE_FILTER = """
+SELECT DISTINCT source FROM documents WHERE regexp_matches(source, '^src1[0-9]$')
+"""
+
+
+def q_date_filter(spark, sf_dir):
+    """F10/P14: publish-date equality filter (reference
+    news_api_scrapper.py:117-125)."""
+    _utc(spark)
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.to_date("ts") == F.lit("2024-01-15").cast("date"))
+        .select("event_id", "event_type")
+    )
+
+
+SQL_DATE_FILTER = """
+SELECT event_id, event_type FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+"""
+
+
+# ---------------------------------------------------------------------------
+# P: projections / scalar functions  (SURVEY.md §2.4)
+# ---------------------------------------------------------------------------
+
+
+def q_url_functions(spark, sf_dir):
+    """P1+P2: url absolutization (custom_scrapers.py:93,124) and
+    title-from-slug (custom_scrapers.py:388-389) as native column ops."""
+    docs = _t(spark, sf_dir, "documents")
+    href = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("/news/world-news-"), F.col("doc_id").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("https://a.example.com/y-"), F.col("doc_id").cast("string"))
+    )
+    abs_url = F.when(
+        href.startswith("/"), F.concat(F.lit("https://base.example.com"), href)
+    ).otherwise(href)
+    slug = F.element_at(F.split(abs_url, "/"), -1)
+    return docs.select(
+        "doc_id",
+        abs_url.alias("abs_url"),
+        F.replace(slug, F.lit("-"), F.lit(" ")).alias("slug_title"),
+    )
+
+
+SQL_URL_FUNCTIONS = """
+WITH h AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN '/news/world-news-' || CAST(doc_id AS VARCHAR)
+              ELSE 'https://a.example.com/y-' || CAST(doc_id AS VARCHAR) END AS href
+  FROM documents
+), a AS (
+  SELECT doc_id,
+         CASE WHEN href LIKE '/%' THEN 'https://base.example.com' || href
+              ELSE href END AS abs_url
+  FROM h
+)
+SELECT doc_id, abs_url,
+       replace((string_split(abs_url, '/'))[-1], '-', ' ') AS slug_title
+FROM a
+"""
+
+
+def q_entity_normalize(spark, sf_dir):
+    """P4: entity-key normalization — lower, drop 's, drop quotes,
+    collapse whitespace (reference call_to_genai.py:36-41)."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "'s", ""), "[\"']", ""
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    return docs.select("doc_id", norm.alias("norm_text"))
+
+
+SQL_ENTITY_NORMALIZE = """
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+            '''s', '', 'g'), '["'']', '', 'g'), '\\s+', ' ', 'g')) AS norm_text
+FROM documents
+"""
+
+
+def q_clean_fingerprint(spark, sf_dir):
+    """P8 + fingerprint: deterministic cleaner (call_to_genai.py:120-138 —
+    strip urls + junk phrases, squeeze whitespace) then md5 document
+    fingerprint."""
+    docs = _t(spark, sf_dir, "documents")
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), r"https?://\S+", ""),
+                "(?i)(follow us|share this|sign up|subscribe|cookie)",
+                "",
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id", F.md5(F.encode(cleaned, "utf-8")).alias("fingerprint")
+    )
+
+
+SQL_CLEAN_FINGERPRINT = """
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(regexp_replace(text,
+           'https?://\\S+', '', 'g'),
+           '(?i)(follow us|share this|sign up|subscribe|cookie)', '', 'g'),
+           '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# A: aggregations  (SURVEY.md §2.5)
+# ---------------------------------------------------------------------------
+
+
+def q_source_distribution(spark, sf_dir):
+    """A1/A2: per-key counts + percentage-of-total distribution
+    (reference classifier.py:197-198,295-307)."""
+    docs = _t(spark, sf_dir, "documents")
+    agg = docs.groupBy("source").agg(F.count("*").alias("n"))
+    total = W.partitionBy()
+    return agg.select(
+        "source",
+        "n",
+        F.round(F.lit(100.0) * F.col("n") / F.sum("n").over(total), 2).alias("pct"),
+    )
+
+
+SQL_SOURCE_DISTRIBUTION = """
+SELECT source, count(*) AS n,
+       round(100.0 * count(*) / (SELECT count(*) FROM documents), 2) AS pct
+FROM documents GROUP BY source
+"""
+
+
+def q_success_failure_counts(spark, sf_dir):
+    """A3/A8: predicate counters per group (reference
+    classifier.py:199-200; link_pool_repository.py:98-99)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(F.col("value") > 0, 1)).alias("n_pos"),
+    )
+
+
+SQL_SUCCESS_FAILURE_COUNTS = """
+SELECT event_type, count(*) AS n_total,
+       count(*) FILTER (WHERE value > 0) AS n_pos
+FROM events GROUP BY event_type
+"""
+
+
+def q_group_collect(spark, sf_dir):
+    """A5: group-by-source with row collection (reference
+    articles_repository.py:45-60 $group/$push) — deterministic via
+    sorted concat."""
+    docs = _t(spark, sf_dir, "documents")
+    padded = F.lpad(F.col("doc_id").cast("string"), 6, "0")
+    return docs.groupBy("source").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list(padded))).alias("doc_ids")
+    )
+
+
+SQL_GROUP_COLLECT = """
+SELECT source,
+       string_agg(lpad(CAST(doc_id AS VARCHAR), 6, '0'), ','
+                  ORDER BY lpad(CAST(doc_id AS VARCHAR), 6, '0')) AS doc_ids
+FROM documents GROUP BY source
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """A7: proportional per-source sample (reference README.md:676-702
+    $sample export) — deterministic variant: first ceil(10%) per source
+    by doc_id."""
+    docs = _t(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy("doc_id")
+    wc = W.partitionBy("source")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .withColumn("cnt", F.count("*").over(wc))
+        .filter(F.col("rn") <= F.ceil(F.col("cnt") * 0.1))
+        .select("doc_id", "source")
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, source FROM documents
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id)
+        <= ceil(count(*) OVER (PARTITION BY source) * 0.1)
+"""
+
+
+def q_pricing_summary(spark, sf_dir):
+    """Aggregation-engine breadth check (TPC-H Q1 shape) over lineitem;
+    sums rounded to absorb float association order."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# O: sorts / limits / top-k  (SURVEY.md §2.7) + politeness gate analog
+# ---------------------------------------------------------------------------
+
+
+def q_topk_per_group(spark, sf_dir):
+    """O2: per-section top-10 (reference custom_scrapers.py:355,457,543
+    article_links[:10]) as a Window rank."""
+    docs = _t(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("doc_id", "source")
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT doc_id, source FROM documents
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10
+"""
+
+
+def q_host_budget_gate(spark, sf_dir):
+    """Politeness budget analog (north rule; SURVEY.md §2.10): first-5
+    per host (user_id stands in for host) ordered by recency."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("user_id", "event_id")
+    )
+
+
+SQL_HOST_BUDGET_GATE = """
+SELECT user_id, event_id FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: dedup / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash (hash-groupBy): canonical doc id +
+    duplicate count per distinct text."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fp", F.md5(F.encode(F.col("text"), "utf-8")))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_dups"))
+        .select("doc_id", "n_dups")
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+
+def _spark_shingles(col):
+    """Word 3-gram shingles as a native column expression (no UDF)."""
+    toks = F.split(F.lower(col), r"\s+")
+    n = F.size(toks)
+    return F.when(
+        n >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - 2),
+                lambda j: F.concat_ws(" ", F.slice(toks, j, 3)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+_SQL_SHINGLES = """
+CASE WHEN len(string_split_regex(lower(text), '\\s+')) >= 3
+     THEN list_distinct([array_to_string(
+            (string_split_regex(lower(text), '\\s+'))[i+1:i+3], ' ')
+          for i in range(len(string_split_regex(lower(text), '\\s+')) - 2)])
+     ELSE [] END
+"""
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Near-dup detection: word-3-gram Jaccard similarity >= threshold,
+    via shingle explode + self-join + per-pair intersection counts.
+    All JVM-side (higher-order functions + joins), no UDF."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _spark_shingles(F.col("text")).alias("sh")
+    )
+    sized = docs.withColumn("n_sh", F.size("sh")).filter(F.col("n_sh") > 0)
+    ex = sized.select("doc_id", "n_sh", F.explode("sh").alias("s"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        pairs.filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+SQL_NGRAM_JACCARD_PAIRS = f"""
+WITH sh AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents
+), sized AS (
+  SELECT doc_id, sh, len(sh) AS n_sh FROM sh WHERE len(sh) > 0
+), ex AS (
+  SELECT doc_id, n_sh, unnest(sh) AS s FROM sized
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+         count(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+       round(inter / (na + nb - inter), 4) AS jaccard
+FROM pairs
+WHERE inter / (na + nb - inter) >= {JACCARD_THRESHOLD}
+"""
+
+
+def q_minhash_lsh_candidates(spark, sf_dir):
+    """MinHash+LSH near-dup candidates: 8 string-minhashes over word
+    3-gram shingles (min of md5(seed|shingle) — a deterministic random
+    permutation both engines share), banded 4x2; candidate pairs share
+    at least one band. Oracle-able because md5 is identical everywhere."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _spark_shingles(F.col("text")).alias("sh")
+    )
+    ex = docs.filter(F.size("sh") > 0).select("doc_id", F.explode("sh").alias("s"))
+    aggs = [
+        F.min(F.md5(F.encode(F.concat(F.lit(f"{i}|"), F.col("s")), "utf-8"))).alias(f"h{i}")
+        for i in range(N_MINHASH)
+    ]
+    sig = ex.groupBy("doc_id").agg(*aggs)
+    bands = None
+    for b in range(N_MINHASH // 2):
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}")).alias("key"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    c = bands.alias("b")
+    return (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _sql_minhash() -> str:
+    mins = ", ".join(
+        f"min(md5('{i}|' || s)) AS h{i}" for i in range(N_MINHASH)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, h{2*b} || h{2*b+1} AS key FROM sig"
+        for b in range(N_MINHASH // 2)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents
+), ex AS (
+  SELECT doc_id, unnest(sh) AS s FROM sh WHERE len(sh) > 0
+), sig AS (
+  SELECT doc_id, {mins} FROM ex GROUP BY doc_id
+), bands AS (
+  {bands}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+"""
+
+
+SQL_MINHASH_LSH_CANDIDATES = _sql_minhash()
+
+
+def q_knn_cosine(spark, sf_dir):
+    """Brute-force cosine top-10 ANN baseline over the embeddings table
+    (query = vec_id 0), all in JVM expressions: zip_with product +
+    aggregate fold, deterministic tie-break on vec_id."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    qlit = F.array(*[F.lit(float(x)) for x in qrow[0]])
+
+    def dot(u, v):
+        return F.aggregate(
+            F.zip_with(u, v, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cos = dot(F.col("embedding"), qlit) / (
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))) * F.sqrt(dot(qlit, qlit))
+    )
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", cos.alias("cos_raw"))
+        .orderBy(F.round(F.col("cos_raw"), 6).desc(), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("cos_raw", 4).alias("cosine"))
+    )
+
+
+SQL_KNN_COSINE = """
+WITH q AS (
+  SELECT list_transform(embedding, e -> CAST(e AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id = 0
+), scored AS (
+  SELECT vec_id,
+         list_dot_product(list_transform(embedding, e -> CAST(e AS DOUBLE)), q.qv)
+         / (sqrt(list_dot_product(list_transform(embedding, e -> CAST(e AS DOUBLE)),
+                                   list_transform(embedding, e -> CAST(e AS DOUBLE))))
+            * sqrt(list_dot_product(q.qv, q.qv))) AS cos_raw
+  FROM embeddings, q
+  WHERE vec_id <> 0
+)
+SELECT vec_id, round(cos_raw, 4) AS cosine
+FROM scored
+ORDER BY round(cos_raw, 6) DESC, vec_id
+LIMIT 10
+"""
+
+
+def q_lang_id_stopword(spark, sf_dir):
+    """Language-ID heuristic: English stopword ratio over whitespace
+    tokens, thresholded — higher-order functions, no UDF."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    ratio = F.round(n_stop / F.greatest(n_tok, F.lit(1)), 4)
+    return docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        n_stop.cast("long").alias("n_stop"),
+        ratio.alias("stop_ratio"),
+        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("other")).alias("lang_pred"),
+    )
+
+
+SQL_LANG_ID_STOPWORD = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                              w -> w IN ({_STOP_SQL}))) AS BIGINT) AS n_stop
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_stop,
+       round(n_stop / greatest(n_tokens, 1), 4) AS stop_ratio,
+       CASE WHEN round(n_stop / greatest(n_tokens, 1), 4) >= 0.05
+            THEN 'en' ELSE 'other' END AS lang_pred
+FROM t
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    """Quality scoring: length / token-count / punctuation-ratio
+    composite (training-data filtering heuristic)."""
+    docs = _t(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tokens = F.size(toks)
+    n_punct = n_chars - F.length(F.regexp_replace(F.col("text"), "[.!?,;:]", ""))
+    quality = F.round(
+        (F.least(n_tokens, F.lit(200)) / 200.0)
+        * (F.lit(1.0) - n_punct / F.greatest(n_chars, F.lit(1))),
+        4,
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        quality.alias("quality"),
+    )
+
+
+SQL_QUALITY_SCORE = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS n_punct
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens,
+       round((least(n_tokens, 200) / 200.0) * (1.0 - n_punct / greatest(n_chars, 1)), 4)
+       AS quality
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "seen_antijoin": (q_seen_antijoin, SQL_SEEN_ANTIJOIN),
+    "first_wins_dedup": (q_first_wins_dedup, SQL_FIRST_WINS_DEDUP),
+    "skip_boilerplate_filter": (q_skip_boilerplate_filter, SQL_SKIP_BOILERPLATE_FILTER),
+    "min_content_filter": (q_min_content_filter, SQL_MIN_CONTENT_FILTER),
+    "regex_source_filter": (q_regex_source_filter, SQL_REGEX_SOURCE_FILTER),
+    "date_filter": (q_date_filter, SQL_DATE_FILTER),
+    "url_functions": (q_url_functions, SQL_URL_FUNCTIONS),
+    "entity_normalize": (q_entity_normalize, SQL_ENTITY_NORMALIZE),
+    "clean_fingerprint": (q_clean_fingerprint, SQL_CLEAN_FINGERPRINT),
+    "source_distribution": (q_source_distribution, SQL_SOURCE_DISTRIBUTION),
+    "success_failure_counts": (q_success_failure_counts, SQL_SUCCESS_FAILURE_COUNTS),
+    "group_collect": (q_group_collect, SQL_GROUP_COLLECT),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
+    "host_budget_gate": (q_host_budget_gate, SQL_HOST_BUDGET_GATE),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
+    "minhash_lsh_candidates": (q_minhash_lsh_candidates, SQL_MINHASH_LSH_CANDIDATES),
+    "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
+    "lang_id_stopword": (q_lang_id_stopword, SQL_LANG_ID_STOPWORD),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+}

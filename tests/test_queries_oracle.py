@@ -1,0 +1,61 @@
+"""Mimic the driver's correctness gate: run each queries() entry on
+Spark and its oracle_sql() on DuckDB at sf0.01, compare row count,
+column names, and order-insensitive values (exact, like a value hash).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from newscrawl.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(val):
+    if val is None:
+        return "\x00NULL"
+    if isinstance(val, float):
+        if math.isnan(val):
+            return "NaN"
+        # kill -0.0 vs 0.0 and format stably
+        return repr(val + 0.0)
+    return repr(val)
+
+
+def _rows(pdf):
+    cols = sorted(pdf.columns)
+    recs = [tuple(_canon(v) for v in row) for row in pdf[cols].itertuples(index=False)]
+    return sorted(recs), cols
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, duck, name):
+    fn, sql = QUERIES[name]
+    got_pdf = fn(spark, SF_DIR).toPandas()
+    want_pdf = duck.execute(sql).df()
+
+    got, got_cols = _rows(got_pdf)
+    want, want_cols = _rows(want_pdf)
+    assert got_cols == want_cols, f"{name}: column names differ"
+    assert len(got) == len(want), f"{name}: row count {len(got)} != {len(want)}"
+    assert len(got) > 0, f"{name}: empty result proves nothing"
+    mism = [(g, w) for g, w in zip(got, want) if g != w]
+    assert not mism, f"{name}: first value mismatches: {mism[:5]}"
