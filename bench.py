@@ -1,0 +1,187 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "crawl": {"urls": N, "sec": s, "urls_per_sec": r}, "cpus": N}
+
+Headline components:
+- the crawl engine end-to-end (synthetic corpus generated distributed,
+  3 waves: frontier -> bloom+anti-join -> fetch join -> extract UDF ->
+  commit), reported as urls fetched+extracted per second (the
+  BASELINE.json target metric), and
+- representative operator queries at $SPARK_GRAFT_SF_DIR.
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), NEWSCRAWL_BENCH_SCALE (crawl corpus
+size multiplier, default 1).
+
+Scaling-efficiency evidence (north rule's two-cluster-size criterion,
+no real cluster in this sandbox): ``python bench.py --scaling`` runs the
+crawl bench in fresh subprocesses at local[8] and local[32] on the SAME
+corpus and writes BENCH/BASELINE.md with both throughputs and
+efficiency = (T32/T8)/4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("newscrawl-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "48g")
+        .getOrCreate()
+    )
+
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "first_wins_dedup",
+    "source_distribution",
+    "group_collect",
+    "dedup_exact",
+    "minhash_lsh_candidates",
+    "ngram_jaccard_pairs",
+    "knn_cosine",
+    "lang_id_stopword",
+    "quality_score",
+]
+
+
+def bench_crawl(spark, scale: int) -> dict:
+    import tempfile
+
+    from newscrawl import synth, wave
+    from newscrawl.storage import ManifestParquetCatalog
+
+    cfg = synth.SynthConfig(
+        n_seed=3000 * scale,
+        n_total=12000 * scale,
+        hot_universe=60000 * scale,
+        n_waves=3,
+    )
+    # materialize the corpus first so page generation isn't billed to the crawl
+    pages = synth.build_pages_df(spark, cfg)
+    corpus_dir = tempfile.mkdtemp(prefix="newscrawl_corpus_")
+    pages.write.mode("overwrite").parquet(corpus_dir)
+    pages = spark.read.parquet(corpus_dir)
+    n_pages = pages.count()
+
+    catalog = ManifestParquetCatalog(tempfile.mkdtemp(prefix="newscrawl_bench_"))
+    t0 = time.perf_counter()
+    metrics = wave.run_crawl(spark, catalog, cfg, pages=pages)
+    sec = time.perf_counter() - t0
+    n_urls = sum(m["n_yielded"] for m in metrics)
+    return {
+        "pages": n_pages,
+        "urls": n_urls,
+        "waves": len(metrics),
+        "sec": round(sec, 3),
+        "urls_per_sec": round(n_urls / sec, 1) if sec > 0 else None,
+    }
+
+
+def bench_queries(spark, sf_dir: str) -> dict:
+    from newscrawl.queries import QUERIES
+
+    out = {}
+    for name in BENCH_QUERIES:
+        fn, _sql = QUERIES[name]
+        df = fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def run_once(cpus: int, sf_dir: str, scale: int, crawl_only: bool = False) -> dict:
+    spark = build_spark(cpus)
+    try:
+        crawl = bench_crawl(spark, scale)
+        qs = {} if crawl_only else bench_queries(spark, sf_dir)
+        total = round(crawl["sec"] + sum(qs.values()), 3)
+        sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+        return {
+            "metric": "crawl_plus_queries_total_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": qs,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "crawl": crawl,
+            "cpus": cpus,
+        }
+    finally:
+        spark.stop()
+
+
+def scaling_report(sf_dir: str, scale: int) -> None:
+    """local[8] vs local[32] on the same corpus, fresh JVM each."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ)
+        env["SPARK_GRAFT_CPUS"] = str(cpus)
+        env["NEWSCRAWL_BENCH_SCALE"] = str(scale)
+        out = subprocess.run(
+            [sys.executable, __file__, "--crawl-only"],
+            capture_output=True,
+            text=True,
+            env=env,
+            check=True,
+        )
+        results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+    r8 = results[8]["crawl"]["urls_per_sec"]
+    r32 = results[32]["crawl"]["urls_per_sec"]
+    eff = round((r32 / r8) / 4.0, 3)
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            "# BENCH baseline — crawl throughput & scaling efficiency\n\n"
+            "North-rule two-cluster-size criterion, evidenced in-sandbox as the\n"
+            "same crawl job (identical corpus, identical waves) at two\n"
+            "parallelism levels with fresh JVMs (no real cluster available):\n\n"
+            "| parallelism | pages | urls fetched+extracted | wall sec | urls/sec |\n"
+            "|---|---|---|---|---|\n"
+            f"| local[8]  (N)  | {results[8]['crawl']['pages']} | {results[8]['crawl']['urls']} | {results[8]['crawl']['sec']} | {r8} |\n"
+            f"| local[32] (4N) | {results[32]['crawl']['pages']} | {results[32]['crawl']['urls']} | {results[32]['crawl']['sec']} | {r32} |\n\n"
+            f"**Scaling efficiency (T_4N / T_N) / 4 = {eff}** (target >= 0.8 on a\n"
+            "real multi-executor cluster; local-mode numbers under-report because\n"
+            "per-wave fixed costs — JVM scheduling, snapshot commits, Python\n"
+            "worker startup — don't parallelize, and a single shared driver JVM\n"
+            "serializes I/O).\n\n"
+            f"Corpus scale knob: NEWSCRAWL_BENCH_SCALE={scale}.\n\n"
+            "Reference baseline for context: the reference pipeline processes\n"
+            "~50-200 articles per 2-10 min run (~0.1-1.7 urls/sec ceiling,\n"
+            "/root/reference README.md:399). See repo-root BASELINE.md.\n"
+        )
+    print(json.dumps({"scaling_efficiency": eff, "local8": r8, "local32": r32}))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    scale = int(os.environ.get("NEWSCRAWL_BENCH_SCALE", "1"))
+    if "--scaling" in sys.argv:
+        scaling_report(sf_dir, scale)
+        return
+    res = run_once(cpus, sf_dir, scale, crawl_only="--crawl-only" in sys.argv)
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

@@ -150,13 +150,16 @@ def extract_pages(batch_iter: Iterator["pandas.DataFrame"]) -> Iterator["pandas.
     """mapInPandas function: html binary -> (title, text, outlinks, skip).
 
     Pure per-row transformation over Arrow batches — no state, no
-    shuffling, safe at any partitioning. Use with::
+    shuffling, safe at any partitioning. The html column is consumed and
+    DROPPED on output (it must never flow into persisted wave state —
+    at 100 TB the raw bytes dominate every downstream cost). Use with::
 
-        df.mapInPandas(extract_pages, schema=<input schema> + EXTRACT_COLUMNS)
+        df.mapInPandas(extract_pages,
+                       schema=<input schema minus html> + EXTRACT_COLUMNS)
     """
     for pdf in batch_iter:
         htmls = pdf["html"]
-        pdf = pdf.copy()
+        pdf = pdf.drop(columns=["html"])
         pdf["title"] = [extract_title(h) for h in htmls]
         pdf["text"] = [extract_text(h) for h in htmls]
         pdf["clean_text"] = [clean_text(t) for t in pdf["text"]]

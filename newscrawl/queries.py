@@ -418,11 +418,14 @@ FROM documents GROUP BY md5(text)
 """
 
 
-def _spark_shingles(col):
-    """Word 3-gram shingles as a native column expression (no UDF)."""
-    toks = F.split(F.lower(col), r"\s+")
+def _shingled(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, sh array<string>) of distinct word 3-gram
+    shingles. Tokens are materialized as a column FIRST so the regex
+    split runs once per row — inlining it into the transform() lambda
+    would re-split per array element (O(n^2) regex calls per doc)."""
+    toks = F.col("toks")
     n = F.size(toks)
-    return F.when(
+    sh = F.when(
         n >= 3,
         F.array_distinct(
             F.transform(
@@ -431,6 +434,9 @@ def _spark_shingles(col):
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
+    return docs.withColumn("toks", F.split(F.lower(F.col("text")), r"\s+")).select(
+        "doc_id", sh.alias("sh")
+    )
 
 
 _SQL_SHINGLES = """
@@ -446,11 +452,14 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     """Near-dup detection: word-3-gram Jaccard similarity >= threshold,
     via shingle explode + self-join + per-pair intersection counts.
     All JVM-side (higher-order functions + joins), no UDF."""
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", _spark_shingles(F.col("text")).alias("sh")
-    )
+    docs = _shingled(_t(spark, sf_dir, "documents"))
     sized = docs.withColumn("n_sh", F.size("sh")).filter(F.col("n_sh") > 0)
-    ex = sized.select("doc_id", "n_sh", F.explode("sh").alias("s"))
+    # join on a 64-bit hash of the shingle, not the string: cheaper
+    # shuffle + compares; collision odds at any realistic shingle count
+    # are ~2^-64 per pair (intermediate key only — output is exact ids)
+    ex = sized.select(
+        "doc_id", "n_sh", F.explode("sh").alias("s_str")
+    ).select("doc_id", "n_sh", F.xxhash64("s_str").alias("s"))
     a = ex.alias("a")
     b = ex.alias("b")
     pairs = (
@@ -495,9 +504,7 @@ def q_minhash_lsh_candidates(spark, sf_dir):
     3-gram shingles (min of md5(seed|shingle) — a deterministic random
     permutation both engines share), banded 4x2; candidate pairs share
     at least one band. Oracle-able because md5 is identical everywhere."""
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", _spark_shingles(F.col("text")).alias("sh")
-    )
+    docs = _shingled(_t(spark, sf_dir, "documents"))
     ex = docs.filter(F.size("sh") > 0).select("doc_id", F.explode("sh").alias("s"))
     aggs = [
         F.min(F.md5(F.encode(F.concat(F.lit(f"{i}|"), F.col("s")), "utf-8"))).alias(f"h{i}")

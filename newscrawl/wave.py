@@ -63,10 +63,13 @@ def run_wave(
     frontier = catalog.read(spark, "frontier", FRONTIER)
     seen = catalog.read(spark, "seen", SEEN).filter(F.col("is_processed"))
 
-    n_frontier = frontier.count()
+    # frontier row count is free from the snapshot manifest (lineage stats)
+    n_frontier = catalog.table_stats("frontier").get("rows", 0)
 
     cands = priority.first_wins_dedup(priority.with_sort_key(frontier))
     cands = cands.withColumn("url_hash", F.xxhash64("url"))
+    cands.persist()
+    n_candidates = cands.count()
 
     bloom = _load_bloom(spark, catalog) if use_bloom else None
     unseen = seenset.antijoin_unseen(cands, seen, bloom)
@@ -74,10 +77,23 @@ def run_wave(
 
     kept, deferred = politeness.budget_gate(unseen, budget)
 
-    # the "fetch": frontier x pages on raw url. Left join so fetch
-    # failures (no page) stay visible and carry to the next wave.
-    fetched = kept.join(pages.select("url", "warc_ts", "html"), "url", "left")
-    in_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in fetched.schema.fields)
+    # the "fetch": frontier x pages on raw url. The candidate side is
+    # orders of magnitude smaller than the page corpus, so broadcast it —
+    # the html bytes then NEVER shuffle (map-side join against the
+    # columnar scan). Fetch failures are recovered with a second,
+    # column-pruned anti-join (reads only pages.url). At true 10^10 scale
+    # with a frontier too big to broadcast, bucket both tables by
+    # url_hash instead (co-located sort-merge, html still unshuffled);
+    # this plan keeps that swap local to these two lines.
+    fetched = pages.select("url", "warc_ts", "html").join(
+        F.broadcast(kept), "url", "inner"
+    )
+    failed = kept.join(pages.select("url"), "url", "left_anti").select(*FRONTIER_COLS)
+    in_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in fetched.schema.fields
+        if f.name != "html"
+    )
     extracted = fetched.mapInPandas(ex.extract_pages, schema=f"{in_ddl}, {ex.EXTRACT_COLUMNS}")
     extracted = extracted.withColumn(
         "yielded", F.length(F.coalesce(F.col("text"), F.lit(""))) >= min_text_chars
@@ -104,40 +120,55 @@ def run_wave(
             "warc_ts",
             F.length("text").cast("long").alias("n_chars"),
         )
+        # carry = fetch failures (anti-join side) + too-short pages +
+        # budget-deferred rows; all retried next wave (reference scrapers
+        # never insert_link for these, custom_scrapers.py:96-108,376-378)
         carry = extracted.filter(~F.col("yielded")).select(*FRONTIER_COLS)
+        carry = carry.unionByName(failed)
         if deferred is not None:
             carry = carry.unionByName(deferred.select(*FRONTIER_COLS))
         children = priority.child_frontier(yielded).select(*FRONTIER_COLS)
         new_frontier = carry.unionByName(children)
 
-        # metrics (A1-A3 analogs): per-source distribution of this wave's
-        # yielded urls, count-desc with first-seen (min sort_key) tie-break
-        # (reference Counter.most_common semantics, classifier.py:295-307).
-        dist_rows = (
-            yielded.groupBy("source")
-            .agg(F.count("*").alias("n"), F.min(priority.SORT_KEY).alias("first_seen"))
-            .orderBy(F.desc("n"), F.asc("first_seen"))
+        # metrics (A1-A3 analogs) in ONE aggregation job over the persisted
+        # wave output: per-source yielded counts (count-desc, first-seen
+        # tie-break — reference Counter.most_common, classifier.py:295-307),
+        # skip counts, and outlink counts.
+        stat_rows = (
+            extracted.groupBy("source")
+            .agg(
+                F.count(F.when(F.col("yielded"), 1)).alias("n"),
+                F.count(F.when(F.col("yielded") & F.col("skip"), 1)).alias("n_skip"),
+                F.sum(
+                    F.when(F.col("yielded"), F.size("outlinks")).otherwise(F.lit(0))
+                ).alias("n_out"),
+                F.count(F.when(~F.col("yielded"), 1)).alias("n_fail"),
+                F.min(F.when(F.col("yielded"), F.col(priority.SORT_KEY))).alias(
+                    "first_seen"
+                ),
+            )
             .collect()
         )
-        n_yielded = sum(r.n for r in dist_rows)
+        n_yielded = sum(r.n for r in stat_rows)
+        n_skipped = sum(r.n_skip for r in stat_rows)
+        n_children = int(sum(r.n_out for r in stat_rows))
+        n_fetch_fail = sum(r.n_fail for r in stat_rows)
+        n_articles = n_yielded - n_skipped
         dist = [
             {
                 "source": r.source,
                 "count": r.n,
                 "percentage": round(100.0 * r.n / n_yielded, 2) if n_yielded else 0.0,
             }
-            for r in dist_rows
+            for r in sorted(
+                (r for r in stat_rows if r.n), key=lambda r: (-r.n, r.first_seen)
+            )
         ]
-        n_candidates = cands.count()
-        n_skipped = yielded.filter(F.col("skip")).count()
-        n_articles = n_yielded - n_skipped
 
         commit = catalog.begin()
-        n_carry = commit.write("frontier", new_frontier, mode="overwrite")
+        n_frontier_next = commit.write("frontier", new_frontier, mode="overwrite")
         commit.write("seen", seen_delta, mode="append")
         commit.write("articles", articles, mode="append")
-
-        n_children = children.count()
         metrics = {
             "wave_id": wid,
             "n_frontier": n_frontier,
@@ -145,7 +176,7 @@ def run_wave(
             "n_yielded": n_yielded,
             "n_skipped": n_skipped,
             "n_articles": n_articles,
-            "n_carry": n_carry - n_children,
+            "n_carry": n_frontier_next - n_children,
             "n_new_outlinks": n_children,
             "source_distribution": json.dumps(dist),
         }
@@ -169,6 +200,7 @@ def run_wave(
         return metrics
     finally:
         extracted.unpersist()
+        cands.unpersist()
 
 
 def run_crawl(
