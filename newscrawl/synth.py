@@ -88,6 +88,8 @@ class SynthConfig:
     link_cutoff: Optional[int] = None  # idx below this emits outlinks (default n_total//2)
     min_text_chars: int = ex.MIN_TEXT_CHARS
     n_waves: int = 3
+    base_paras: int = 2  # paragraphs per page = base_paras + hash%4 (bench uses
+    # larger values so pages approach realistic web-page weight)
 
     @property
     def cutoff(self) -> int:
@@ -176,7 +178,7 @@ def page_for_url(url: str, cfg: SynthConfig) -> Optional[Page]:
     else:
         paras = [
             _words(f"para|{url}|{k}", 8 + (h[1] + k) % 7)
-            for k in range((h[0] % 4) + 2)
+            for k in range((h[0] % 4) + cfg.base_paras)
         ]
         if h[2] % 7 == 0:
             paras.append("Follow us on social media for more updates")

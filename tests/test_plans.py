@@ -1,0 +1,70 @@
+"""Physical-plan assertions: the shapes that matter at 100 TB.
+
+- the fetch join must broadcast the candidate side (html bytes never
+  shuffle)
+- the fetch-failure anti-join must read only pages.url (column pruning)
+- operator queries keep filters pushed into the parquet scan
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from newscrawl import synth
+from newscrawl.queries import q_min_content_filter, q_pricing_summary
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_fetch_join_broadcasts_candidates(spark, tmp_path):
+    cfg = synth.SynthConfig()
+    pages = synth.build_pages_df(spark, cfg, num_partitions=4)
+    pages_dir = str(tmp_path / "pages")
+    pages.write.parquet(pages_dir)
+    pages = spark.read.parquet(pages_dir)
+
+    from newscrawl import priority
+
+    kept = priority.with_sort_key(priority.seed_ord(synth.build_seeds_df(spark, cfg)))
+    fetched = pages.select("url", "warc_ts", "html").join(
+        F.broadcast(kept), "url", "inner"
+    )
+    plan = _plan(fetched)
+    assert "BroadcastHashJoin" in plan
+    # the pages scan must not read the ground-truth text/lang columns
+    assert "text" not in plan.split("ReadSchema")[-1]
+
+
+def test_failure_antijoin_prunes_to_url_only(spark, tmp_path):
+    cfg = synth.SynthConfig()
+    pages = synth.build_pages_df(spark, cfg, num_partitions=4)
+    pages_dir = str(tmp_path / "pages2")
+    pages.write.parquet(pages_dir)
+    pages = spark.read.parquet(pages_dir)
+
+    seeds = synth.build_seeds_df(spark, cfg)
+    anti = seeds.join(pages.select("url"), "url", "left_anti")
+    read_schema = _plan(anti).split("ReadSchema: ")[-1].splitlines()[0]
+    assert "url" in read_schema
+    for heavy in ("html", "text", "warc_ts", "lang"):
+        assert heavy not in read_schema
+
+
+def test_filter_pushdown_in_queries(spark):
+    plan = _plan(q_min_content_filter(spark, "/root/testdata/sf0.01"))
+    assert "PushedFilters" in plan or "Filter" in plan
+    # column pruning: only doc_id + text needed
+    rs = plan.split("ReadSchema: ")[-1].splitlines()[0]
+    assert "doc_id" in rs and "text" in rs and "source" not in rs
+
+
+def test_agg_uses_whole_stage_codegen(spark):
+    df = q_pricing_summary(spark, "/root/testdata/sf0.01")
+    df.collect()  # finalize the AQE plan before inspecting it
+    plan = _plan(df)
+    # partial aggregation (map-side combine) before the shuffle
+    assert plan.count("HashAggregate") >= 2
+    # '*(n)' prefixes mark WholeStageCodegen spans in the plan string
+    assert "*(" in plan
