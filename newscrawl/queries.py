@@ -676,6 +676,177 @@ FROM t
 """
 
 
+def q_knn_ivf(spark, sf_dir):
+    """IVF-bucketed ANN (the scale path for similarity search): assign
+    every vector to its nearest of K=8 centroids (vec_id 1..8), then
+    brute-force only within the query's bucket. At 100 TB the bucket
+    assignment is a broadcast join + argmax (one pass), and search cost
+    drops by ~K vs the brute-force baseline (q_knn_cosine)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = (
+        emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= 8))
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec"))
+    )
+
+    def dot(u, v):
+        return F.aggregate(
+            F.zip_with(u, v, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cos = dot(F.col("embedding"), F.col("cvec")) / (
+        F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(dot(F.col("cvec"), F.col("cvec")))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.round(cos, 6).desc(), F.col("cent_id"))
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "embedding", F.col("cent_id").alias("bucket"))
+    )
+    qrow = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).head()
+    qlit = F.array(*[F.lit(float(x)) for x in qrow["embedding"]])
+    qbucket = (
+        assigned.filter(F.col("vec_id") == 0).select("bucket").head()["bucket"]
+    )
+    qcos = dot(F.col("embedding"), qlit) / (
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))) * F.sqrt(dot(qlit, qlit))
+    )
+    return (
+        assigned.filter((F.col("bucket") == qbucket) & (F.col("vec_id") != 0))
+        .select("vec_id", qcos.alias("cos_raw"))
+        .orderBy(F.round("cos_raw", 6).desc(), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("cos_raw", 4).alias("cosine"))
+    )
+
+
+SQL_KNN_IVF = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), cents AS (
+  SELECT vec_id AS cent_id, v AS cvec FROM e WHERE vec_id BETWEEN 1 AND 8
+), assigned AS (
+  SELECT e.vec_id, e.v, c.cent_id AS bucket
+  FROM e CROSS JOIN cents c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id
+    ORDER BY round(list_dot_product(e.v, c.cvec)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(c.cvec, c.cvec))), 6) DESC,
+             c.cent_id
+  ) = 1
+), q AS (
+  SELECT v AS qv, (SELECT bucket FROM assigned WHERE vec_id = 0) AS qb
+  FROM e WHERE vec_id = 0
+)
+SELECT vec_id,
+       round(list_dot_product(a.v, q.qv)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+             4) AS cosine
+FROM assigned a, q
+WHERE a.bucket = q.qb AND a.vec_id <> 0
+ORDER BY round(list_dot_product(a.v, q.qv)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+               6) DESC, vec_id
+LIMIT 10
+"""
+
+
+GEO_ALIASES = [
+    ("us", "united states"),
+    ("usa", "united states"),
+    ("uk", "united kingdom"),
+    ("uae", "united arab emirates"),
+    ("eu", "european union"),
+    ("un", "united nations"),
+]
+
+
+def q_alias_canonicalize(spark, sf_dir):
+    """P10: geo-alias canonicalization via a broadcast map join
+    (reference spacy_demo.py:13-57,96-105 applies an alias dict after
+    key normalization)."""
+    docs = _t(spark, sf_dir, "documents")
+    alias = spark.createDataFrame(GEO_ALIASES, "k string, canon string")
+    key = F.element_at(F.split(F.lower(F.col("text")), r"\s+"), 1)
+    return (
+        docs.select("doc_id", key.alias("k"))
+        .join(F.broadcast(alias), "k", "left")
+        .select("doc_id", F.coalesce("canon", "k").alias("canonical"))
+    )
+
+
+_ALIAS_VALUES = ", ".join(f"('{k}', '{v}')" for k, v in GEO_ALIASES)
+
+SQL_ALIAS_CANONICALIZE = f"""
+WITH alias(k, canon) AS (VALUES {_ALIAS_VALUES}),
+keys AS (
+  SELECT doc_id, (string_split_regex(lower(text), '\\s+'))[1] AS k FROM documents
+)
+SELECT doc_id, coalesce(canon, keys.k) AS canonical
+FROM keys LEFT JOIN alias ON keys.k = alias.k
+"""
+
+
+def q_sample_id_validation(spark, sf_dir):
+    """F13: sample-id format validation (reference utils/validation.py:6-19
+    regex ^(\\d+)-(YYYY)-(MM)-(DD)$ + real-date check)."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    sid = F.concat(
+        F.col("event_id").cast("string"),
+        F.lit("-"),
+        F.date_format("ts", "yyyy-MM-dd"),
+    )
+    valid = sid.rlike(r"^\d+-\d{4}-\d{2}-\d{2}$") & F.to_date(
+        F.substring_index(sid, "-", -3), "yyyy-M-d"
+    ).isNotNull()
+    return ev.select("event_id", sid.alias("sample_id"), valid.alias("is_valid"))
+
+
+SQL_SAMPLE_ID_VALIDATION = """
+SELECT event_id,
+       CAST(event_id AS VARCHAR) || '-' || strftime(ts, '%Y-%m-%d') AS sample_id,
+       (regexp_matches(CAST(event_id AS VARCHAR) || '-' || strftime(ts, '%Y-%m-%d'),
+                       '^\\d+-\\d{4}-\\d{2}-\\d{2}$')
+        AND try_strptime(str_split(CAST(event_id AS VARCHAR) || '-'
+                         || strftime(ts, '%Y-%m-%d'), '-')[-3] || '-'
+                         || str_split(CAST(event_id AS VARCHAR) || '-'
+                         || strftime(ts, '%Y-%m-%d'), '-')[-2] || '-'
+                         || str_split(CAST(event_id AS VARCHAR) || '-'
+                         || strftime(ts, '%Y-%m-%d'), '-')[-1],
+                         '%Y-%m-%d') IS NOT NULL) AS is_valid
+FROM events
+"""
+
+
+def q_binary_metadata(spark, sf_dir):
+    """Multimodal plumbing: opaque binary column + typed metadata
+    (byte length, content hash) — the schema/IO pattern used for
+    image/audio payloads (decode itself is stubbed in
+    newscrawl.multimodal; here the binary is the utf-8 text payload
+    so the oracle can verify the plumbing end-to-end)."""
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.md5(payload).alias("content_md5"),
+    )
+
+
+SQL_BINARY_METADATA = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -701,6 +872,10 @@ QUERIES = {
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "minhash_lsh_candidates": (q_minhash_lsh_candidates, SQL_MINHASH_LSH_CANDIDATES),
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
+    "knn_ivf": (q_knn_ivf, SQL_KNN_IVF),
+    "alias_canonicalize": (q_alias_canonicalize, SQL_ALIAS_CANONICALIZE),
+    "sample_id_validation": (q_sample_id_validation, SQL_SAMPLE_ID_VALIDATION),
+    "binary_metadata": (q_binary_metadata, SQL_BINARY_METADATA),
     "lang_id_stopword": (q_lang_id_stopword, SQL_LANG_ID_STOPWORD),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
 }

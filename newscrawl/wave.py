@@ -76,29 +76,33 @@ def run_wave(
     unseen = politeness.robots_filter(unseen, robots)
 
     kept, deferred = politeness.budget_gate(unseen, budget)
+    kept = kept.persist()
 
-    # the "fetch": frontier x pages on raw url. The candidate side is
-    # orders of magnitude smaller than the page corpus, so broadcast it —
-    # the html bytes then NEVER shuffle (map-side join against the
-    # columnar scan). Fetch failures are recovered with a second,
-    # column-pruned anti-join (reads only pages.url). At true 10^10 scale
-    # with a frontier too big to broadcast, bucket both tables by
-    # url_hash instead (co-located sort-merge, html still unshuffled);
-    # this plan keeps that swap local to these two lines.
-    fetched = pages.select("url", "warc_ts", "html").join(
-        F.broadcast(kept), "url", "inner"
+    # the "fetch": frontier x pages on raw url. Physical strategy for a
+    # page corpus orders of magnitude bigger than the wave's candidates:
+    # 1. map-side semi-join of the scan against a SLIM broadcast (urls
+    #    only, a few bytes/row) — html bytes never shuffle;
+    # 2. extract IMMEDIATELY on the matched pages (html consumed and
+    #    dropped inside the pandas UDF, so raw bytes never leave the
+    #    scan stage);
+    # 3. join the slim extract output back to the candidate metadata
+    #    (kept is small -> auto-broadcast; at 10^10-frontier scale
+    #    bucket both tables by url_hash for a co-located join instead).
+    hit_pages = pages.select("url", "warc_ts", "html").join(
+        F.broadcast(kept.select("url")), "url", "inner"
     )
-    failed = kept.join(pages.select("url"), "url", "left_anti").select(*FRONTIER_COLS)
-    in_ddl = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in fetched.schema.fields
-        if f.name != "html"
+    extracted_slim = hit_pages.mapInPandas(
+        ex.extract_pages, schema=f"url string, warc_ts timestamp, {ex.EXTRACT_COLUMNS}"
     )
-    extracted = fetched.mapInPandas(ex.extract_pages, schema=f"{in_ddl}, {ex.EXTRACT_COLUMNS}")
-    extracted = extracted.withColumn(
+    extracted = extracted_slim.join(kept, "url", "inner").withColumn(
         "yielded", F.length(F.coalesce(F.col("text"), F.lit(""))) >= min_text_chars
     )
     extracted.persist()
+    # fetch failures: candidates with no page behind them — derived from
+    # the (persisted, already-small) extract output, not a second scan
+    failed = kept.join(extracted.select("url"), "url", "left_anti").select(
+        *FRONTIER_COLS
+    )
     try:
         yielded = extracted.filter(F.col("yielded"))
 
@@ -200,6 +204,7 @@ def run_wave(
         return metrics
     finally:
         extracted.unpersist()
+        kept.unpersist()
         cands.unpersist()
 
 
