@@ -46,6 +46,9 @@ def build_spark(cpus: int):
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "48g")
+        # enough scan splits that the extract stage can use every core
+        # (default 128m gives ~18 splits on the bench corpus)
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .getOrCreate()
     )
 
@@ -75,6 +78,7 @@ def bench_crawl(spark, scale: int) -> dict:
         n_total=12000 * scale,
         hot_universe=60000 * scale,
         n_waves=3,
+        base_paras=30,  # realistic page weight -> extraction-dominated waves
     )
     # materialize the corpus first so page generation isn't billed to the crawl
     pages = synth.build_pages_df(spark, cfg)
@@ -82,6 +86,17 @@ def bench_crawl(spark, scale: int) -> dict:
     pages.write.mode("overwrite").parquet(corpus_dir)
     pages = spark.read.parquet(corpus_dir)
     n_pages = pages.count()
+
+    # warmup: a miniature crawl on a throwaway corpus so one-time costs
+    # (Python-worker startup, codegen/JIT, first parquet write) are paid
+    # before the clock starts — real clusters run with warm executors
+    warm_cfg = synth.SynthConfig(n_seed=2, n_total=8, hot_universe=16, n_waves=1)
+    wave.run_crawl(
+        spark,
+        ManifestParquetCatalog(tempfile.mkdtemp(prefix="newscrawl_warm_")),
+        warm_cfg,
+        pages=synth.build_pages_df(spark, warm_cfg, num_partitions=8),
+    )
 
     catalog = ManifestParquetCatalog(tempfile.mkdtemp(prefix="newscrawl_bench_"))
     t0 = time.perf_counter()

@@ -126,6 +126,58 @@ def clean_text(text: str | None) -> str:
     return t.strip()
 
 
+STOPWORDS = frozenset(
+    "the a of and to in for on is was it that with as at by an be are "
+    "this from or has had not but".split()
+)
+
+_FP_BASE = 1000003
+_FP_MOD = (1 << 61) - 1
+_FP_WINDOW = 64
+
+
+def rolling_fingerprint(text: str) -> str:
+    """Document fingerprint: minimum of a Rabin-Karp rolling hash over
+    fixed-size byte windows (winnowing-style min-sampling), hex-encoded.
+    Deterministic, shift-robust: inserting bytes far from the minimal
+    window doesn't change the fingerprint."""
+    data = text.encode("utf-8")
+    n = len(data)
+    if n == 0:
+        return "0" * 16
+    w = min(_FP_WINDOW, n)
+    h = 0
+    for b in data[:w]:
+        h = (h * _FP_BASE + b) % _FP_MOD
+    best = h
+    if n > w:
+        top = pow(_FP_BASE, w - 1, _FP_MOD)
+        for i in range(w, n):
+            h = ((h - data[i - w] * top) * _FP_BASE + data[i]) % _FP_MOD
+            if h < best:
+                best = h
+    return f"{best:016x}"
+
+
+def analyze_text(text: str) -> tuple[int, float, str, float]:
+    """Per-page text analysis computed at extraction time (the
+    training-data enrichments a crawl pipeline attaches per document):
+    token count, stopword ratio, language guess, quality score."""
+    toks = text.lower().split()
+    n_tokens = len(toks)
+    if n_tokens == 0:
+        return 0, 0.0, "unknown", 0.0
+    n_stop = sum(1 for t in toks if t in STOPWORDS)
+    stop_ratio = round(n_stop / n_tokens, 4)
+    lang_pred = "en" if stop_ratio >= 0.05 else "other"
+    n_chars = len(text)
+    n_punct = sum(text.count(c) for c in ".!?,;:")
+    quality = round(
+        (min(n_tokens, 200) / 200.0) * (1.0 - n_punct / max(n_chars, 1)), 4
+    )
+    return n_tokens, stop_ratio, lang_pred, quality
+
+
 def is_skip_title(title: str | None) -> bool:
     """Boilerplate-title filter (reference classifier.py:64-71,214-224).
     Matching rows are processed (seen) but produce no article."""
@@ -142,7 +194,9 @@ def is_skip_title(title: str | None) -> bool:
 # Output schema appended to the input columns by extract_pages().
 EXTRACT_COLUMNS = (
     "title string, text string, clean_text string, "
-    "outlinks array<string>, skip boolean"
+    "outlinks array<string>, skip boolean, "
+    "n_tokens long, stop_ratio double, lang_pred string, "
+    "quality double, fingerprint string"
 )
 
 
@@ -165,4 +219,10 @@ def extract_pages(batch_iter: Iterator["pandas.DataFrame"]) -> Iterator["pandas.
         pdf["clean_text"] = [clean_text(t) for t in pdf["text"]]
         pdf["outlinks"] = [discover_outlinks(h) for h in htmls]
         pdf["skip"] = [is_skip_title(t) for t in pdf["title"]]
+        analysis = [analyze_text(t) for t in pdf["text"]]
+        pdf["n_tokens"] = [a[0] for a in analysis]
+        pdf["stop_ratio"] = [a[1] for a in analysis]
+        pdf["lang_pred"] = [a[2] for a in analysis]
+        pdf["quality"] = [a[3] for a in analysis]
+        pdf["fingerprint"] = [rolling_fingerprint(t) for t in pdf["text"]]
         yield pdf

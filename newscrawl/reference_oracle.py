@@ -111,6 +111,7 @@ def run_oracle(cfg: synth.SynthConfig, n_waves: int | None = None) -> OracleResu
             if ex.is_skip_title(title):
                 wave.n_skipped += 1
                 continue
+            n_tokens, stop_ratio, lang_pred, quality = ex.analyze_text(page.text)
             wave.articles.append(
                 {
                     "url": url,
@@ -121,6 +122,11 @@ def run_oracle(cfg: synth.SynthConfig, n_waves: int | None = None) -> OracleResu
                     "wave_id": wid,
                     "warc_ts": page.warc_ts,
                     "n_chars": len(page.text),
+                    "n_tokens": n_tokens,
+                    "stop_ratio": stop_ratio,
+                    "lang_pred": lang_pred,
+                    "quality": quality,
+                    "fingerprint": ex.rolling_fingerprint(page.text),
                 }
             )
 

@@ -65,6 +65,13 @@ ARTICLES = T.StructType(
         T.StructField("wave_id", T.StringType(), False),
         T.StructField("warc_ts", T.TimestampType(), True),
         T.StructField("n_chars", T.LongType(), True),
+        # per-page text-analysis enrichments computed at extraction time
+        # (training-data pipeline additions; newscrawl/extract.py analyze_text)
+        T.StructField("n_tokens", T.LongType(), True),
+        T.StructField("stop_ratio", T.DoubleType(), True),
+        T.StructField("lang_pred", T.StringType(), True),
+        T.StructField("quality", T.DoubleType(), True),
+        T.StructField("fingerprint", T.StringType(), True),
     ]
 )
 

@@ -23,6 +23,8 @@ is idempotent (the driver loop resumes from the snapshot's wave index).
 from __future__ import annotations
 
 import json
+import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -60,6 +62,16 @@ def run_wave(
     use_bloom: bool = True,
 ) -> dict:
     wid = wave_id_for(wave_index)
+    _timing = bool(os.environ.get("NEWSCRAWL_TIMING"))
+    _t = time.perf_counter()
+
+    def tick(label: str) -> None:
+        nonlocal _t
+        if _timing:
+            now = time.perf_counter()
+            print(f"[{wid}] {label}: {now - _t:.2f}s", flush=True)
+            _t = now
+
     frontier = catalog.read(spark, "frontier", FRONTIER)
     seen = catalog.read(spark, "seen", SEEN).filter(F.col("is_processed"))
 
@@ -70,8 +82,10 @@ def run_wave(
     cands = cands.withColumn("url_hash", F.xxhash64("url"))
     cands.persist()
     n_candidates = cands.count()
+    tick("dedup+count")
 
     bloom = _load_bloom(spark, catalog) if use_bloom else None
+    tick("bloom_load")
     unseen = seenset.antijoin_unseen(cands, seen, bloom)
     unseen = politeness.robots_filter(unseen, robots)
 
@@ -123,6 +137,11 @@ def run_wave(
             F.lit(wid).alias("wave_id"),
             "warc_ts",
             F.length("text").cast("long").alias("n_chars"),
+            "n_tokens",
+            "stop_ratio",
+            "lang_pred",
+            "quality",
+            "fingerprint",
         )
         # carry = fetch failures (anti-join side) + too-short pages +
         # budget-deferred rows; all retried next wave (reference scrapers
@@ -134,25 +153,64 @@ def run_wave(
         children = priority.child_frontier(yielded).select(*FRONTIER_COLS)
         new_frontier = carry.unionByName(children)
 
+        # one pass fills the cache (scan -> extract -> join), so the
+        # parallel jobs below all read from memory
+        extracted.count()
+        tick("extract(materialize)")
+
         # metrics (A1-A3 analogs) in ONE aggregation job over the persisted
         # wave output: per-source yielded counts (count-desc, first-seen
         # tie-break — reference Counter.most_common, classifier.py:295-307),
         # skip counts, and outlink counts.
-        stat_rows = (
-            extracted.groupBy("source")
-            .agg(
-                F.count(F.when(F.col("yielded"), 1)).alias("n"),
-                F.count(F.when(F.col("yielded") & F.col("skip"), 1)).alias("n_skip"),
-                F.sum(
-                    F.when(F.col("yielded"), F.size("outlinks")).otherwise(F.lit(0))
-                ).alias("n_out"),
-                F.count(F.when(~F.col("yielded"), 1)).alias("n_fail"),
-                F.min(F.when(F.col("yielded"), F.col(priority.SORT_KEY))).alias(
-                    "first_seen"
-                ),
+        def compute_stats():
+            return (
+                extracted.groupBy("source")
+                .agg(
+                    F.count(F.when(F.col("yielded"), 1)).alias("n"),
+                    F.count(F.when(F.col("yielded") & F.col("skip"), 1)).alias(
+                        "n_skip"
+                    ),
+                    F.sum(
+                        F.when(F.col("yielded"), F.size("outlinks")).otherwise(
+                            F.lit(0)
+                        )
+                    ).alias("n_out"),
+                    F.count(F.when(~F.col("yielded"), 1)).alias("n_fail"),
+                    F.min(F.when(F.col("yielded"), F.col(priority.SORT_KEY))).alias(
+                        "first_seen"
+                    ),
+                )
+                .collect()
             )
-            .collect()
-        )
+
+        # the wave's output jobs are independent of each other — submit
+        # them concurrently so the driver doesn't serialize four small
+        # writes + an agg behind one another (Spark schedules concurrent
+        # jobs across the same executors)
+        commit = catalog.begin()
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=5) as pool:
+            f_frontier = pool.submit(
+                commit.write, "frontier", new_frontier, "overwrite"
+            )
+            f_seen = pool.submit(commit.write, "seen", seen_delta, "append")
+            f_articles = pool.submit(commit.write, "articles", articles, "append")
+            f_stats = pool.submit(compute_stats)
+            f_bloom = (
+                pool.submit(
+                    lambda: seenset.build_bloom_rows(seen_delta).collect()
+                )
+                if use_bloom
+                else None
+            )
+            n_frontier_next = f_frontier.result()
+            f_seen.result()
+            f_articles.result()
+            stat_rows = f_stats.result()
+            bloom_delta_rows = f_bloom.result() if f_bloom is not None else None
+        tick("parallel writes+stats")
+
         n_yielded = sum(r.n for r in stat_rows)
         n_skipped = sum(r.n_skip for r in stat_rows)
         n_children = int(sum(r.n_out for r in stat_rows))
@@ -168,11 +226,6 @@ def run_wave(
                 (r for r in stat_rows if r.n), key=lambda r: (-r.n, r.first_seen)
             )
         ]
-
-        commit = catalog.begin()
-        n_frontier_next = commit.write("frontier", new_frontier, mode="overwrite")
-        commit.write("seen", seen_delta, mode="append")
-        commit.write("articles", articles, mode="append")
         metrics = {
             "wave_id": wid,
             "n_frontier": n_frontier,
@@ -190,17 +243,17 @@ def run_wave(
         commit.write("wave_metrics", metrics_df, mode="append")
 
         if use_bloom:
-            delta_rows = seenset.build_bloom_rows(seen_delta)
+            merged = seenset.BloomShardSet.from_rows(
+                [(r.shard, r.bitmap, r.n_items) for r in bloom_delta_rows]
+            )
             if bloom is not None:
-                merged = seenset.BloomShardSet.from_rows(
-                    [(r.shard, r.bitmap, r.n_items) for r in delta_rows.collect()]
-                ).merge(bloom)
-                merged_df = spark.createDataFrame(merged.to_rows(), schema=BLOOM_SHARDS)
-            else:
-                merged_df = delta_rows
+                merged.merge(bloom)
+            merged_df = spark.createDataFrame(merged.to_rows(), schema=BLOOM_SHARDS)
             commit.write("bloom_shards", merged_df, mode="overwrite")
 
+        tick("bloom_merge+metrics")
         commit.commit(wave_id=wid, wave_index=wave_index, metrics=metrics)
+        tick("commit")
         return metrics
     finally:
         extracted.unpersist()

@@ -53,22 +53,15 @@ def test_text_bytes_match_oracle_and_ground_truth(spark, crawl):
 
 def test_articles_match_oracle_fully(spark, crawl):
     catalog, _metrics, oracle = crawl
+    cols = (
+        "title text clean_text source wave_id n_chars "
+        "n_tokens stop_ratio lang_pred quality fingerprint"
+    ).split()
     got = {
-        r.url: (r.title, r.text, r.clean_text, r.source, r.wave_id, r.n_chars)
+        r.url: tuple(getattr(r, c) for c in cols)
         for r in wave.read_articles(spark, catalog).collect()
     }
-    want = {
-        a["url"]: (
-            a["title"],
-            a["text"],
-            a["clean_text"],
-            a["source"],
-            a["wave_id"],
-            a["n_chars"],
-        )
-        for w in oracle.waves
-        for a in w.articles
-    }
+    want = {a["url"]: tuple(a[c] for c in cols) for w in oracle.waves for a in w.articles}
     assert got == want
 
 
