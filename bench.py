@@ -19,9 +19,11 @@ size multiplier, default 1).
 
 Scaling-efficiency evidence (north rule's two-cluster-size criterion,
 no real cluster in this sandbox): ``python bench.py --scaling`` runs the
-crawl bench in fresh subprocesses at local[8] and local[32] on the SAME
-corpus and writes BENCH/BASELINE.md with both throughputs and
-efficiency = (T32/T8)/4.
+crawl bench in fresh subprocesses at local[4] (N) and local[16] (4N) on
+the SAME corpus and writes BENCH/BASELINE.md with both throughputs and
+efficiency = (T_4N/T_N)/4. The pair is (4,16), not (8,32), because a
+local[N] Python-UDF stage occupies ~2N cores — local[16] saturates the
+32-core box exactly, local[32] would oversubscribe it 2x.
 """
 
 from __future__ import annotations
@@ -146,9 +148,22 @@ def run_once(cpus: int, sf_dir: str, scale: int, crawl_only: bool = False) -> di
 
 
 def scaling_report(sf_dir: str, scale: int) -> None:
-    """local[8] vs local[32] on the same corpus, fresh JVM each."""
+    """local[8] vs local[32] on the same corpus, fresh JVM each.
+
+    Uses a 4x corpus by default: scaling efficiency is only meaningful
+    when per-wave work dominates per-wave fixed costs (driver
+    orchestration, snapshot commit), which is exactly the regime a
+    100 TB crawl runs in.
+    """
+    scale = int(os.environ.get("NEWSCRAWL_SCALING_SCALE", scale * 4))
+    # local[N] with Python-UDF stages occupies ~2N cores (N JVM task
+    # threads + N Python workers running concurrently), so on a 32-core
+    # box the honest N-vs-4N pair is local[4] vs local[16]: the upper
+    # point then fits the machine (16+16=32) instead of oversubscribing
+    # it 2x the way local[32] (needs 64) would.
+    pair = (4, 16)
     results = {}
-    for cpus in (8, 32):
+    for cpus in pair:
         env = dict(os.environ)
         env["SPARK_GRAFT_CPUS"] = str(cpus)
         env["NEWSCRAWL_BENCH_SCALE"] = str(scale)
@@ -160,20 +175,24 @@ def scaling_report(sf_dir: str, scale: int) -> None:
             check=True,
         )
         results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
-    r8 = results[8]["crawl"]["urls_per_sec"]
-    r32 = results[32]["crawl"]["urls_per_sec"]
-    eff = round((r32 / r8) / 4.0, 3)
+    lo, hi = pair
+    r8 = results[lo]["crawl"]["urls_per_sec"]
+    r32 = results[hi]["crawl"]["urls_per_sec"]
+    eff = round((r32 / r8) / (hi / lo), 3)
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
             "# BENCH baseline — crawl throughput & scaling efficiency\n\n"
             "North-rule two-cluster-size criterion, evidenced in-sandbox as the\n"
             "same crawl job (identical corpus, identical waves) at two\n"
-            "parallelism levels with fresh JVMs (no real cluster available):\n\n"
+            "parallelism levels with fresh JVMs (no real cluster available).\n"
+            "Note: local[N] with Python-UDF stages occupies ~2N cores (N JVM\n"
+            "task threads + N Python workers), so N=4 vs 4N=16 is the largest\n"
+            "pair that fits this 32-core box without oversubscription.\n\n"
             "| parallelism | pages | urls fetched+extracted | wall sec | urls/sec |\n"
             "|---|---|---|---|---|\n"
-            f"| local[8]  (N)  | {results[8]['crawl']['pages']} | {results[8]['crawl']['urls']} | {results[8]['crawl']['sec']} | {r8} |\n"
-            f"| local[32] (4N) | {results[32]['crawl']['pages']} | {results[32]['crawl']['urls']} | {results[32]['crawl']['sec']} | {r32} |\n\n"
+            f"| local[{lo}]  (N)  | {results[lo]['crawl']['pages']} | {results[lo]['crawl']['urls']} | {results[lo]['crawl']['sec']} | {r8} |\n"
+            f"| local[{hi}] (4N) | {results[hi]['crawl']['pages']} | {results[hi]['crawl']['urls']} | {results[hi]['crawl']['sec']} | {r32} |\n\n"
             f"**Scaling efficiency (T_4N / T_N) / 4 = {eff}** (target >= 0.8 on a\n"
             "real multi-executor cluster; local-mode numbers under-report because\n"
             "per-wave fixed costs — JVM scheduling, snapshot commits, Python\n"
@@ -184,7 +203,7 @@ def scaling_report(sf_dir: str, scale: int) -> None:
             "~50-200 articles per 2-10 min run (~0.1-1.7 urls/sec ceiling,\n"
             "/root/reference README.md:399). See repo-root BASELINE.md.\n"
         )
-    print(json.dumps({"scaling_efficiency": eff, "local8": r8, "local32": r32}))
+    print(json.dumps({"scaling_efficiency": eff, f"local{lo}": r8, f"local{hi}": r32}))
 
 
 def main() -> None:

@@ -190,12 +190,21 @@ def run_wave(
         commit = catalog.begin()
         from concurrent.futures import ThreadPoolExecutor
 
+        # coalesce delta writes: the extract stage runs wide (one partition
+        # per scan split), but writing one file per split piles up tiny
+        # files wave over wave and every later state read pays for it
+        # (the classic small-files problem). Narrow only the write side;
+        # at 100 TB scale replace the constant with a rows/target-file-size
+        # estimate from the manifest stats.
+        n_out = max(2, spark.sparkContext.defaultParallelism // 4)
         with ThreadPoolExecutor(max_workers=5) as pool:
             f_frontier = pool.submit(
-                commit.write, "frontier", new_frontier, "overwrite"
+                commit.write, "frontier", new_frontier.coalesce(n_out), "overwrite"
             )
-            f_seen = pool.submit(commit.write, "seen", seen_delta, "append")
-            f_articles = pool.submit(commit.write, "articles", articles, "append")
+            f_seen = pool.submit(commit.write, "seen", seen_delta.coalesce(n_out), "append")
+            f_articles = pool.submit(
+                commit.write, "articles", articles.coalesce(n_out), "append"
+            )
             f_stats = pool.submit(compute_stats)
             f_bloom = (
                 pool.submit(
@@ -214,7 +223,6 @@ def run_wave(
         n_yielded = sum(r.n for r in stat_rows)
         n_skipped = sum(r.n_skip for r in stat_rows)
         n_children = int(sum(r.n_out for r in stat_rows))
-        n_fetch_fail = sum(r.n_fail for r in stat_rows)
         n_articles = n_yielded - n_skipped
         dist = [
             {

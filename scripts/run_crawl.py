@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Cluster entry point: run (or resume) a crawl via spark-submit.
+
+    zip -r engine.zip newscrawl/
+    spark-submit --py-files engine.zip scripts/run_crawl.py \
+        --catalog /data/crawl_state --pages /data/pages_parquet \
+        --waves 10 --budget 1000
+
+On a multi-executor cluster no code changes are needed: the wave plan
+is declarative and all state lives in the catalog directory (shared
+filesystem / object store). Without --pages, a deterministic synthetic
+corpus is generated distributed (see newscrawl.synth).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--catalog", required=True, help="state root (snapshots + tables)")
+    ap.add_argument("--pages", default=None, help="parquet dir of pages (url, warc_ts, html, text, lang)")
+    ap.add_argument("--waves", type=int, default=3)
+    ap.add_argument("--budget", type=int, default=None, help="per-host per-wave fetch budget")
+    ap.add_argument("--no-bloom", action="store_true")
+    ap.add_argument("--synth-seed", type=int, default=8, help="synthetic seeds per section (when no --pages)")
+    ap.add_argument("--synth-total", type=int, default=240, help="synthetic universe per section")
+    args = ap.parse_args()
+
+    spark = (
+        SparkSession.builder.appName("newscrawl")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+
+    from newscrawl import synth, wave
+    from newscrawl.schema import PAGES
+    from newscrawl.storage import ManifestParquetCatalog
+
+    cfg = synth.SynthConfig(
+        n_seed=args.synth_seed, n_total=args.synth_total, n_waves=args.waves
+    )
+    pages = (
+        spark.read.schema(PAGES).parquet(args.pages)
+        if args.pages
+        else synth.build_pages_df(spark, cfg)
+    )
+    catalog = ManifestParquetCatalog(args.catalog)
+    metrics = wave.run_crawl(
+        spark,
+        catalog,
+        cfg,
+        n_waves=args.waves,
+        pages=pages,
+        budget=args.budget,
+        use_bloom=not args.no_bloom,
+    )
+    for m in metrics:
+        print(json.dumps(m))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
