@@ -321,13 +321,66 @@ def build_pages_df(spark, cfg: SynthConfig, num_partitions: int | None = None):
     )
 
 
-def build_seeds_df(spark, cfg: SynthConfig):
+def _seed_blocks(cfg: SynthConfig) -> list[tuple[str, int, str, int, int, int]]:
+    """(source, source_rank, section, section_rank, start_gid, n) blocks."""
+    blocks = []
+    off = 0
+    for source_rank, (source, _host, sections) in enumerate(SOURCES):
+        n = min(cfg.n_seed, SELENIUM_CAP) if source in SELENIUM_SOURCES else cfg.n_seed
+        for section_rank, section in enumerate(sections):
+            blocks.append((source, source_rank, section, section_rank, off, n))
+            off += n
+    return blocks
+
+
+def build_seeds_df(spark, cfg: SynthConfig, distributed_threshold: int = 50_000):
+    """Seed frontier as a DataFrame. Small seed lists go through
+    createDataFrame; large ones are generated DISTRIBUTED via
+    spark.range -> mapInPandas (a 10^10-url frontier can never be built
+    as a driver-side python list). Row content is identical either way
+    (tested)."""
     from .schema import FRONTIER
 
-    return spark.createDataFrame(
-        [
-            (r["url"], r["source"], r["source_rank"], r["section"], r["section_rank"], r["ord"])
-            for r in seed_rows(cfg)
-        ],
-        schema=FRONTIER,
-    )
+    blocks = _seed_blocks(cfg)
+    total = blocks[-1][4] + blocks[-1][5] if blocks else 0
+    if total <= distributed_threshold:
+        return spark.createDataFrame(
+            [
+                (r["url"], r["source"], r["source_rank"], r["section"], r["section_rank"], r["ord"])
+                for r in seed_rows(cfg)
+            ],
+            schema=FRONTIER,
+        )
+
+    import pandas as pd
+
+    parts = spark.sparkContext.defaultParallelism
+
+    def gen(batch_iter):
+        for pdf in batch_iter:
+            recs = []
+            for gid in pdf["id"]:
+                gid = int(gid)
+                for source, source_rank, section, section_rank, off, n in blocks:
+                    if off <= gid < off + n:
+                        pos = gid - off
+                        url = url_for(source, section, pos)
+                        recs.append(
+                            (
+                                url,
+                                source,
+                                source_rank,
+                                section,
+                                section_rank,
+                                url if source == DW_SOURCE else str(pos).zfill(12),
+                            )
+                        )
+                        break
+            yield pd.DataFrame.from_records(
+                recs,
+                columns=["url", "source", "source_rank", "section", "section_rank", "ord"],
+            ) if recs else pd.DataFrame(
+                {c: [] for c in ["url", "source", "source_rank", "section", "section_rank", "ord"]}
+            )
+
+    return spark.range(0, total, 1, parts).mapInPandas(gen, schema=FRONTIER)

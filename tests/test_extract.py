@@ -97,3 +97,13 @@ def test_outlinks_stay_in_universe():
                     s2, _sec2, idx2 = parsed
                     lim = cfg.hot_universe if s2 == synth.HOT_SOURCE else cfg.n_total
                     assert 0 <= idx2 < lim
+
+
+def test_distributed_seed_gen_matches_driver_side():
+    # covered here without Spark via the block math; the Spark-path
+    # equivalence test lives in test_wave-level suites
+    from newscrawl.synth import SynthConfig, _seed_blocks, seed_rows
+
+    cfg = SynthConfig(n_seed=4)
+    blocks = _seed_blocks(cfg)
+    assert blocks[-1][4] + blocks[-1][5] == len(seed_rows(cfg))

@@ -102,3 +102,13 @@ def test_no_bloom_same_result(spark, tmp_path):
     oracle = ro.run_oracle(CFG, n_waves=2)
     got = wave.crawl_order(spark, cat)
     assert got == [(w.wave_id, u) for w in oracle.waves for u in w.crawl_order]
+
+
+def test_build_seeds_df_distributed_equals_driver(spark):
+    from newscrawl import synth
+
+    cfg = synth.SynthConfig(n_seed=5, n_total=20)
+    small = synth.build_seeds_df(spark, cfg)  # createDataFrame path
+    dist = synth.build_seeds_df(spark, cfg, distributed_threshold=0)  # mapInPandas path
+    key = lambda r: (r.url, r.source, r.source_rank, r.section, r.section_rank, r.ord)
+    assert sorted(map(key, small.collect())) == sorted(map(key, dist.collect()))
