@@ -90,7 +90,9 @@ class WaveCommit:
             self.catalog.root, table, "data", f"{uuid.uuid4().hex[:12]}"
         )
         has_hash = "url_hash" in df.columns
-        df.write.mode("overwrite").parquet(out_dir)
+        # zstd halves state-write bytes vs snappy on text-heavy tables —
+        # state I/O is the scarce resource, CPU for compression is not
+        df.write.mode("overwrite").option("compression", "zstd").parquet(out_dir)
 
         # per-file lineage from parquet footers (no extra Spark jobs):
         # rows + bytes per file; min/max url_hash from row-group stats

@@ -94,21 +94,24 @@ def run_wave(
 
     # the "fetch": frontier x pages on raw url. Physical strategy for a
     # page corpus orders of magnitude bigger than the wave's candidates:
-    # 1. map-side semi-join of the scan against a SLIM broadcast (urls
-    #    only, a few bytes/row) — html bytes never shuffle;
-    # 2. extract IMMEDIATELY on the matched pages (html consumed and
-    #    dropped inside the pandas UDF, so raw bytes never leave the
-    #    scan stage);
-    # 3. join the slim extract output back to the candidate metadata
-    #    (kept is small -> auto-broadcast; at 10^10-frontier scale
-    #    bucket both tables by url_hash for a co-located join instead).
-    hit_pages = pages.select("url", "warc_ts", "html").join(
-        F.broadcast(kept.select("url")), "url", "inner"
+    # broadcast the candidate rows into the pages scan (map-side hash
+    # join) and extract IMMEDIATELY — html is consumed and dropped
+    # inside the scan-side pandas UDF, and the extracted text inherits
+    # the frontier metadata in place, so NEITHER the raw bytes NOR the
+    # text ever shuffle. One driver-built broadcast per wave is the
+    # price; at a frontier too large to broadcast, swap this join for a
+    # url_hash-bucketed co-located sort-merge (one localized change).
+    fetched = pages.select("url", "warc_ts", "html").join(
+        F.broadcast(kept), "url", "inner"
     )
-    extracted_slim = hit_pages.mapInPandas(
-        ex.extract_pages, schema=f"url string, warc_ts timestamp, {ex.EXTRACT_COLUMNS}"
+    in_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in fetched.schema.fields
+        if f.name != "html"
     )
-    extracted = extracted_slim.join(kept, "url", "inner").withColumn(
+    extracted = fetched.mapInPandas(
+        ex.extract_pages, schema=f"{in_ddl}, {ex.EXTRACT_COLUMNS}"
+    ).withColumn(
         "yielded", F.length(F.coalesce(F.col("text"), F.lit(""))) >= min_text_chars
     )
     extracted.persist()
