@@ -18,12 +18,10 @@ SPARK_GRAFT_CPUS (default 32), NEWSCRAWL_BENCH_SCALE (crawl corpus
 size multiplier, default 1).
 
 Scaling-efficiency evidence (north rule's two-cluster-size criterion,
-no real cluster in this sandbox): ``python bench.py --scaling`` runs the
-crawl bench in fresh subprocesses at local[4] (N) and local[16] (4N) on
-the SAME corpus and writes BENCH/BASELINE.md with both throughputs and
-efficiency = (T_4N/T_N)/4. The pair is (4,16), not (8,32), because a
-local[N] Python-UDF stage occupies ~2N cores — local[16] saturates the
-32-core box exactly, local[32] would oversubscribe it 2x.
+no real cluster in this sandbox): ``python bench.py --scaling`` runs one
+maximal crawl wave in fresh subprocesses pinned with taskset to 8 CPUs
+(N) and 32 CPUs (4N) on the same corpus and writes BENCH/BASELINE.md
+with both throughputs and efficiency = (T_4N/T_N)/4.
 """
 
 from __future__ import annotations
@@ -167,12 +165,10 @@ def run_once(cpus: int, sf_dir: str, scale: int, crawl_only: bool = False) -> di
 
 
 def scaling_report(sf_dir: str, scale: int) -> None:
-    """local[8] vs local[32] on the same corpus, fresh JVM each.
-
-    Uses a 4x corpus by default: scaling efficiency is only meaningful
-    when per-wave work dominates per-wave fixed costs (driver
-    orchestration, snapshot commit), which is exactly the regime a
-    100 TB crawl runs in.
+    """One maximal crawl wave at 8 pinned CPUs (N) vs 32 (4N), fresh JVM
+    each. Big single wave + 4x corpus because scaling efficiency is only
+    meaningful when the data plane dominates per-wave fixed costs — the
+    regime a 100 TB crawl runs in.
     """
     scale = int(os.environ.get("NEWSCRAWL_SCALING_SCALE", scale * 4))
     # "Two cluster sizes" is emulated as two CPU allocations, enforced
