@@ -847,6 +847,163 @@ FROM documents
 """
 
 
+def q_simhash(spark, sf_dir):
+    """SimHash document signature over word-3-gram shingles: per bit b of
+    md5(shingle)'s first 64 bits, sign-sum across shingles; bit=1 iff
+    sum>0. Emitted as a 64-char bitstring (cross-engine-stable — md5 and
+    string ops only, no engine-specific hash)."""
+    docs = _shingled(_t(spark, sf_dir, "documents"))
+    ex = docs.filter(F.size("sh") > 0).select("doc_id", F.explode("sh").alias("s"))
+    h = F.md5(F.encode(F.col("s"), "utf-8"))
+    aggs = []
+    for b in range(64):
+        nib = F.conv(F.substring(h, b // 4 + 1, 1), 16, 10).cast("int")
+        bit = F.floor(nib / (2 ** (3 - b % 4))) % 2
+        aggs.append(
+            F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s{b}")
+        )
+    sig = ex.groupBy("doc_id").agg(*aggs)
+    bits = [
+        F.when(F.col(f"s{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for b in range(64)
+    ]
+    return sig.select("doc_id", F.concat(*bits).alias("simhash"))
+
+
+def _sql_simhash() -> str:
+    nib_case = lambda i: (
+        "CASE substr(md5(s), %d, 1) " % i
+        + " ".join(f"WHEN '{c}' THEN {v}" for v, c in enumerate("0123456789abcdef"))
+        + " END"
+    )
+    sums = ", ".join(
+        f"sum(CASE WHEN floor(({nib_case(b // 4 + 1)}) / {2 ** (3 - b % 4)}) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(64)
+    )
+    bits = " || ".join(f"CASE WHEN s{b} > 0 THEN '1' ELSE '0' END" for b in range(64))
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents
+), ex AS (
+  SELECT doc_id, unnest(sh) AS s FROM sh WHERE len(sh) > 0
+), sig AS (
+  SELECT doc_id, {sums} FROM ex GROUP BY doc_id
+)
+SELECT doc_id, {bits} AS simhash FROM sig
+"""
+
+
+SQL_SIMHASH = _sql_simhash()
+
+
+def q_json_extract(spark, sf_dir):
+    """P9: safe JSON field extraction (reference call_to_genai.py:168-180
+    json.loads with fallback) — null on malformed, typed value out."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.coalesce(
+            F.get_json_object("props", "$.k").cast("int"), F.lit(-1)
+        ).alias("k_val"),
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT event_id,
+       coalesce(CAST(json_extract_string(props, '$.k') AS INT), -1) AS k_val
+FROM events
+"""
+
+
+ENTITY_VOCAB = {
+    "spark": "ORG", "table": "ORG", "window": "ORG",
+    "customer": "PERSON", "line": "PERSON",
+    "row": "GPE", "column": "GPE", "key": "GPE",
+}
+
+
+def q_entity_bucket(spark, sf_dir):
+    """P12: entity bucketing by label with per-doc dedup (reference
+    spacy_demo.py:107-125 buckets NER output into
+    locations/persons/organizations)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+    )
+    label = None
+    for w, lab in ENTITY_VOCAB.items():
+        cond = F.when(F.col("w") == w, F.lit(lab))
+        label = cond if label is None else label.when(F.col("w") == w, F.lit(lab))
+    return (
+        toks.withColumn("label", label)
+        .filter(F.col("label").isNotNull())
+        .select("doc_id", "label", "w")
+        .distinct()
+    )
+
+
+_ENTITY_CASE = " ".join(
+    f"WHEN '{w}' THEN '{lab}'" for w, lab in ENTITY_VOCAB.items()
+)
+
+SQL_ENTITY_BUCKET = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+  FROM documents
+)
+SELECT DISTINCT doc_id, CASE w {_ENTITY_CASE} END AS label, w
+FROM toks
+WHERE CASE w {_ENTITY_CASE} END IS NOT NULL
+"""
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (dedup family): all pairs
+    with cosine >= 0.40, brute force (the LSH/IVF variants are the scale
+    path — q_knn_ivf)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+
+    def dot(u, v):
+        return F.aggregate(
+            F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (
+        F.sqrt(dot(F.col("a.v"), F.col("a.v"))) * F.sqrt(dot(F.col("b.v"), F.col("b.v")))
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_raw"),
+        )
+        .filter(F.col("cos_raw") >= 0.40)
+        .select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cosine"))
+    )
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+             4) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.40
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -876,6 +1033,10 @@ QUERIES = {
     "alias_canonicalize": (q_alias_canonicalize, SQL_ALIAS_CANONICALIZE),
     "sample_id_validation": (q_sample_id_validation, SQL_SAMPLE_ID_VALIDATION),
     "binary_metadata": (q_binary_metadata, SQL_BINARY_METADATA),
+    "simhash": (q_simhash, SQL_SIMHASH),
+    "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
+    "entity_bucket": (q_entity_bucket, SQL_ENTITY_BUCKET),
+    "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "lang_id_stopword": (q_lang_id_stopword, SQL_LANG_ID_STOPWORD),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
 }

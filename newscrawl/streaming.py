@@ -20,7 +20,9 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
 
 from . import extract as ex
 from .schema import PAGES
@@ -71,3 +73,66 @@ def stream_crawl(
     )
     q.awaitTermination()
     return n_waves["n"]
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful streaming operator: cross-batch URL dedup per host
+# (applyInPandasWithState) — the streaming analog of the seen-set
+# anti-join for pipelines where pages arrive as an unbounded stream and
+# the same url may reappear in later micro-batches.
+# ---------------------------------------------------------------------------
+
+DEDUP_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("url", T.StringType()),
+    ]
+)
+
+# per-host state: the sorted int64 hash set, as raw bytes (numpy buffer —
+# compact, no pickle, O(log n) membership via searchsorted)
+DEDUP_STATE_SCHEMA = T.StructType([T.StructField("hashes", T.BinaryType())])
+
+
+def _dedup_fn(key, pdf_iter, state):
+    if state.exists:
+        seen = np.frombuffer(bytes(state.get[0]), dtype=np.int64).copy()
+    else:
+        seen = np.empty(0, dtype=np.int64)
+    new: list[int] = []
+    for pdf in pdf_iter:
+        hashes = pdf["url_hash"].to_numpy(dtype=np.int64)
+        fresh_mask = []
+        batch_seen = set(new)
+        for h in hashes:
+            idx = np.searchsorted(seen, h)
+            dup = (idx < len(seen) and seen[idx] == h) or int(h) in batch_seen
+            fresh_mask.append(not dup)
+            if not dup:
+                batch_seen.add(int(h))
+                new.append(int(h))
+        out = pdf.loc[fresh_mask, ["host", "url"]]
+        if len(out):
+            yield out
+    if new:
+        merged = np.sort(np.concatenate([seen, np.array(new, dtype=np.int64)]))
+        state.update((merged.tobytes(),))
+
+
+def stateful_dedup_stream(pages_stream: DataFrame) -> DataFrame:
+    """Streaming DataFrame of first-ever occurrences of each url,
+    grouped by host so state shards horizontally (each host's seen-set
+    lives with its group — the same sharding story as the batch bloom
+    shards). Use on a readStream of PAGES rows."""
+    keyed = pages_stream.select(
+        F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host"),
+        "url",
+        F.xxhash64("url").alias("url_hash"),
+    )
+    return keyed.groupBy("host").applyInPandasWithState(
+        _dedup_fn,
+        DEDUP_OUT_SCHEMA,
+        DEDUP_STATE_SCHEMA,
+        "append",
+        "NoTimeout",
+    )

@@ -68,3 +68,30 @@ def test_agg_uses_whole_stage_codegen(spark):
     assert plan.count("HashAggregate") >= 2
     # '*(n)' prefixes mark WholeStageCodegen spans in the plan string
     assert "*(" in plan
+
+
+def test_bucketed_fetch_join_has_no_exchange(spark, tmp_path):
+    """The 10^10-frontier path: identically-bucketed pages & frontier
+    sort-merge join with ZERO Exchange — html never moves."""
+    from newscrawl import bucketing
+
+    cfg = synth.SynthConfig()
+    pages = synth.build_pages_df(spark, cfg, num_partitions=4)
+    seeds = synth.build_seeds_df(spark, cfg)
+    bucketing.write_bucketed(pages, "pages_b", 8)
+    bucketing.write_bucketed(seeds, "frontier_b", 8)
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketing.bucketed_fetch(spark, "frontier_b", "pages_b")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # and it actually returns the fetchable seeds
+        n = joined.count()
+        assert n > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS pages_b")
+        spark.sql("DROP TABLE IF EXISTS frontier_b")

@@ -38,3 +38,61 @@ def test_stream_crawl_processes_arrivals_as_waves(spark, tmp_path):
     seen = wave.read_seen(spark, catalog).collect()
     urls = [r.url for r in seen]
     assert len(urls) == len(set(urls))
+
+
+def test_stateful_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState seen-state: a url that reappears in a later
+    micro-batch is emitted exactly once, per host state."""
+    import pandas as pd
+
+    from newscrawl.schema import PAGES
+    from newscrawl.streaming import stateful_dedup_stream
+
+    d = str(tmp_path / "arrivals")
+    import os
+
+    os.makedirs(d)
+    rows1 = pd.DataFrame(
+        {
+            "url": [f"https://h{i%2}.x.com/p/{i}" for i in range(6)],
+            "warc_ts": pd.Timestamp("2026-01-01"),
+            "html": [b"x"] * 6,
+            "text": ["t"] * 6,
+            "lang": ["en"] * 6,
+        }
+    )
+    # batch 2 repeats 4 of batch 1's urls + adds 2 new
+    rows2 = pd.concat(
+        [
+            rows1.iloc[:4],
+            pd.DataFrame(
+                {
+                    "url": ["https://h0.x.com/p/100", "https://h1.x.com/p/101"],
+                    "warc_ts": pd.Timestamp("2026-01-02"),
+                    "html": [b"y"] * 2,
+                    "text": ["t"] * 2,
+                    "lang": ["en"] * 2,
+                }
+            ),
+        ]
+    )
+    spark.createDataFrame(rows1, schema=PAGES).coalesce(1).write.parquet(d + "/b1")
+    spark.createDataFrame(rows2, schema=PAGES).coalesce(1).write.parquet(d + "/b2")
+
+    stream = (
+        spark.readStream.schema(PAGES)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/b*")
+    )
+    q = (
+        stateful_dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = [r.url for r in spark.sql("SELECT url FROM dedup_out").collect()]
+    assert len(got) == 8  # 6 unique from b1 + 2 new from b2
+    assert len(set(got)) == 8
