@@ -62,6 +62,9 @@ BENCH_QUERIES = [
     "minhash_lsh_candidates",
     "ngram_jaccard_pairs",
     "knn_cosine",
+    "knn_ivf",
+    "embedding_near_dup",
+    "simhash",
     "lang_id_stopword",
     "quality_score",
 ]

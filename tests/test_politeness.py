@@ -96,3 +96,18 @@ def test_disabled_gate_is_reference_equivalent(spark, tmp_path):
     assert wave.crawl_order(spark, cat) == [
         (w.wave_id, u) for w in oracle.waves for u in w.crawl_order
     ]
+
+
+def test_scaled_priority_key_orders_by_budget_and_score(spark):
+    from newscrawl.schema import HOST_STATE
+
+    df = priority.with_sort_key(_frontier(spark, n=20))
+    hs = spark.createDataFrame(
+        [("h0.example.com", 1, 0.9), ("h1.example.com", 500, 0.1)], schema=HOST_STATE
+    )
+    out = politeness.scaled_priority_key(df.drop(priority.SORT_KEY), hs).collect()
+    keyed = {r.url: r.sort_key for r in out}
+    # a host with a tighter budget and higher news score sorts first
+    h0 = min(k for u, k in keyed.items() if "h0." in u)
+    h1 = min(k for u, k in keyed.items() if "h1." in u)
+    assert h0 < h1
