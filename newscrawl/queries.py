@@ -854,15 +854,22 @@ def q_simhash(spark, sf_dir):
     string ops only, no engine-specific hash)."""
     docs = _shingled(_t(spark, sf_dir, "documents"))
     ex = docs.filter(F.size("sh") > 0).select("doc_id", F.explode("sh").alias("s"))
+    # decode the 16 hex nibbles ONCE per shingle row, then derive the 64
+    # bit signs from the materialized nibble columns — 4x fewer
+    # conv() evaluations than inlining the decode into every bit agg
     h = F.md5(F.encode(F.col("s"), "utf-8"))
+    nibs = ex.select(
+        "doc_id",
+        *[
+            F.conv(F.substring(h, i + 1, 1), 16, 10).cast("int").alias(f"n{i}")
+            for i in range(16)
+        ],
+    )
     aggs = []
     for b in range(64):
-        nib = F.conv(F.substring(h, b // 4 + 1, 1), 16, 10).cast("int")
-        bit = F.floor(nib / (2 ** (3 - b % 4))) % 2
-        aggs.append(
-            F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s{b}")
-        )
-    sig = ex.groupBy("doc_id").agg(*aggs)
+        bit = F.floor(F.col(f"n{b // 4}") / (2 ** (3 - b % 4))) % 2
+        aggs.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s{b}"))
+    sig = nibs.groupBy("doc_id").agg(*aggs)
     bits = [
         F.when(F.col(f"s{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
         for b in range(64)
