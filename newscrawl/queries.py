@@ -1024,6 +1024,117 @@ WHERE list_dot_product(a.v, b.v)
 """
 
 
+def q_simhash_near_dup(spark, sf_dir):
+    """SimHash near-dup candidates: band the 64-bit signature into 4x16
+    bits; docs sharing any exact band are candidates (LSH); report each
+    pair's exact hamming distance. The banded join prunes the O(n^2)
+    pair space to hash-collision buckets — the standard simhash dedup
+    shape at corpus scale."""
+    sig = q_simhash(spark, sf_dir)
+    bands = None
+    for b in range(4):
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.substring("simhash", b * 16 + 1, 16).alias("key"),
+            "simhash",
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    c = bands.alias("b")
+    pairs = (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    ham = sum(
+        F.when(
+            F.substring("ha", i + 1, 1) != F.substring("hb", i + 1, 1), 1
+        ).otherwise(0)
+        for i in range(64)
+    )
+    return pairs.select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+
+
+def _sql_simhash_near_dup() -> str:
+    ham = " + ".join(
+        f"CASE WHEN substr(ha, {i + 1}, 1) <> substr(hb, {i + 1}, 1) THEN 1 ELSE 0 END"
+        for i in range(64)
+    )
+    return f"""
+WITH sig AS ({SQL_SIMHASH}),
+bands AS (
+  SELECT doc_id, t.b, substr(simhash, t.b*16+1, 16) AS key, simhash
+  FROM sig, (SELECT unnest([0,1,2,3]) AS b) t
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS ha, b.simhash AS hb
+  FROM bands a JOIN bands b
+    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST({ham} AS INT) AS hamming FROM pairs
+"""
+
+
+SQL_SIMHASH_NEAR_DUP = _sql_simhash_near_dup()
+
+
+def q_sessionization(spark, sf_dir):
+    """Sessionization: per-user sessions split on >30 min inactivity
+    (lag + cumulative gap-count Window — the batch form of
+    session_window). Returns per-session event counts."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet stores TIMESTAMP_NTZ; cast through timestamp (session=UTC)
+    # so epoch seconds match DuckDB's epoch() of the naive value
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = F.when(epoch - F.lag(epoch).over(w) > 1800, 1).otherwise(0)
+    sess = (
+        ev.withColumn("new_sess", gap)
+        .withColumn(
+            "session_no",
+            F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+    )
+    sess = sess.withColumn("session_no", F.col("session_no").cast("long"))
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+SQL_SESSIONIZATION = """
+WITH g AS (
+  SELECT user_id, value,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END
+           AS new_sess,
+         ts, event_id
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM g
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no, count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM s GROUP BY user_id, session_no
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1057,6 +1168,8 @@ QUERIES = {
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
     "entity_bucket": (q_entity_bucket, SQL_ENTITY_BUCKET),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
+    "simhash_near_dup": (q_simhash_near_dup, SQL_SIMHASH_NEAR_DUP),
+    "sessionization": (q_sessionization, SQL_SESSIONIZATION),
     "lang_id_stopword": (q_lang_id_stopword, SQL_LANG_ID_STOPWORD),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
 }
