@@ -111,3 +111,15 @@ def test_scaled_priority_key_orders_by_budget_and_score(spark):
     h0 = min(k for u, k in keyed.items() if "h0." in u)
     h1 = min(k for u, k in keyed.items() if "h1." in u)
     assert h0 < h1
+
+
+def test_crawl_with_robots_blocks_host(spark, tmp_path):
+    """Full crawl with a robots rule: the disallowed host never enters
+    the seen set; everything else matches the unrestricted crawl."""
+    cfg = synth.SynthConfig()
+    robots = spark.createDataFrame([("bbc.example.com", ["/news/"])], schema=ROBOTS)
+    cat = ManifestParquetCatalog(str(tmp_path / "rob"))
+    wave.run_crawl(spark, cat, cfg, n_waves=2, robots=robots)
+    seen_urls = [r.url for r in wave.read_seen(spark, cat).collect()]
+    assert seen_urls
+    assert not any("bbc.example.com" in u for u in seen_urls)

@@ -1,0 +1,84 @@
+"""Property tests (hypothesis) for the pure kernels + global rank."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings, strategies as st
+
+from newscrawl import extract as ex
+from newscrawl import functions as fn
+
+text_st = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=500
+)
+
+
+@given(text_st)
+@settings(max_examples=200, deadline=None)
+def test_clean_text_idempotent(t):
+    once = ex.clean_text(t)
+    assert ex.clean_text(once) == once
+
+
+@given(text_st)
+@settings(max_examples=200, deadline=None)
+def test_clean_text_removes_all_urls(t):
+    assert "https://" not in ex.clean_text(t + " https://x.y/z")
+
+
+@given(st.binary(max_size=2000))
+@settings(max_examples=200, deadline=None)
+def test_extract_never_throws_on_garbage(b):
+    ex.extract_text(b)
+    ex.extract_title(b)
+    ex.discover_outlinks(b)
+
+
+@given(text_st)
+@settings(max_examples=200, deadline=None)
+def test_fingerprint_format_and_determinism(t):
+    f1 = ex.rolling_fingerprint(t)
+    assert re.fullmatch(r"[0-9a-f]{16}", f1)
+    assert ex.rolling_fingerprint(t) == f1
+
+
+@given(text_st, st.integers(min_value=1, max_value=50))
+@settings(max_examples=200, deadline=None)
+def test_chunk_paragraphs_bounded_and_lossless(t, mx):
+    chunks = fn.chunk_paragraphs(t, max_chars=mx)
+    assert all(len(c) <= mx for c in chunks)
+    # content preserved modulo whitespace
+    squash = lambda s: re.sub(r"\s+", "", s)
+    assert squash("".join(chunks)) == squash(t)
+
+
+@given(st.lists(st.text(min_size=1, max_size=20), max_size=30))
+@settings(max_examples=100, deadline=None)
+def test_dedupe_preserve_first_is_subset_in_order(names):
+    out = fn.dedupe_preserve_first(names)
+    it = iter(names)
+    assert all(any(o == n for n in it) for o in out)  # order-preserving subsequence
+    keys = [fn._norm_key(o) for o in out]
+    assert len(keys) == len(set(keys))
+
+
+def test_global_rank_matches_sorted_order(spark):
+    from pyspark.sql import functions as F
+
+    from newscrawl import priority
+    from newscrawl.schema import FRONTIER
+
+    rows = [
+        (f"https://h/{i}", "s", i % 3, "sec", i % 5, str((i * 7) % 100).zfill(12))
+        for i in range(200)
+    ]
+    df = priority.with_sort_key(
+        spark.createDataFrame(rows, schema=FRONTIER).repartition(7)
+    )
+    ranked = priority.global_rank(df).collect()
+    by_rank = [r.url for r in sorted(ranked, key=lambda r: r.rank)]
+    want = [r.url for r in df.orderBy(priority.SORT_KEY, "url").collect()]
+    # ranks are 1..n, dense, and agree with the global sort order
+    assert sorted(r.rank for r in ranked) == list(range(1, 201))
+    assert by_rank == want
