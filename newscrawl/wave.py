@@ -9,12 +9,15 @@ get_all_articles.py:6-19 + classifier.py:194-320):
       -> bloom-prefiltered exact seen anti-join (J1/F1)
       -> robots filter + per-host budget gate   (north-rule additions;
                                                  no-ops in reference mode)
-      -> left join pages on url                 (the "fetch"; J4)
-      -> mapInPandas extract (title/text/clean/outlinks/skip)  (S14, P8, F4)
+      -> pages scan ⋈ broadcast(candidates)     (the "fetch"; J4 —
+         html never shuffles; bucketed co-located variant in bucketing.py)
+      -> mapInPandas extract, html dropped in-scan (S14, P8, F4 +
+         per-page text analysis)
       -> split: articles Δ | seen Δ | carry (fetch-fail or <100 chars,
                retried next wave) | child frontier rows
-      -> atomic multi-table commit (frontier overwrite, seen/articles/
-         metrics append, bloom shards overwrite)
+      -> atomic multi-table commit, output jobs submitted concurrently
+         (frontier overwrite, seen/articles/metrics append, bloom
+         shards overwrite; delta writes coalesced, zstd)
 
 Crash anywhere before commit leaves state untouched; re-running the wave
 is idempotent (the driver loop resumes from the snapshot's wave index).
@@ -101,17 +104,20 @@ def run_wave(
     # text ever shuffle. One driver-built broadcast per wave is the
     # price; at a frontier too large to broadcast, swap this join for a
     # url_hash-bucketed co-located sort-merge (one localized change).
+    # broadcast only the six frontier columns; sort_key and url_hash are
+    # deterministic projections, recomputed JVM-side after extraction —
+    # ~25% less broadcast payload per wave
     fetched = pages.select("url", "warc_ts", "html").join(
-        F.broadcast(kept), "url", "inner"
+        F.broadcast(kept.select(*FRONTIER_COLS)), "url", "inner"
     )
     in_ddl = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in fetched.schema.fields
         if f.name != "html"
     )
-    extracted = fetched.mapInPandas(
-        ex.extract_pages, schema=f"{in_ddl}, {ex.EXTRACT_COLUMNS}"
-    ).withColumn(
+    extracted = priority.with_sort_key(
+        fetched.mapInPandas(ex.extract_pages, schema=f"{in_ddl}, {ex.EXTRACT_COLUMNS}")
+    ).withColumn("url_hash", F.xxhash64("url")).withColumn(
         "yielded", F.length(F.coalesce(F.col("text"), F.lit(""))) >= min_text_chars
     )
     extracted.persist()
