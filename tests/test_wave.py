@@ -112,3 +112,25 @@ def test_build_seeds_df_distributed_equals_driver(spark):
     dist = synth.build_seeds_df(spark, cfg, distributed_threshold=0)  # mapInPandas path
     key = lambda r: (r.url, r.source, r.source_rank, r.section, r.section_rank, r.ord)
     assert sorted(map(key, small.collect())) == sorted(map(key, dist.collect()))
+
+
+def test_canonical_url_expression(spark):
+    from newscrawl.canonicalize import with_url_keys
+
+    rows = [
+        ("HTTPS://Example.COM:443/A/b?q=1#frag",),
+        ("https://example.com/A/b?q=1",),
+        ("http://Host.io:80/x",),
+        ("http://host.io/x",),
+    ]
+    df = with_url_keys(spark.createDataFrame(rows, "url string"))
+    got = {r.url: (r.canonical_url, r.url_hash) for r in df.collect()}
+    assert got["HTTPS://Example.COM:443/A/b?q=1#frag"][0] == "https://example.com/A/b?q=1"
+    # equivalent spellings share the shard key...
+    assert (
+        got["HTTPS://Example.COM:443/A/b?q=1#frag"][1]
+        == got["https://example.com/A/b?q=1"][1]
+    )
+    assert got["http://Host.io:80/x"][1] == got["http://host.io/x"][1]
+    # ...while path case is preserved (RFC 3986 — path is case-significant)
+    assert "/A/b" in got["https://example.com/A/b?q=1"][0]
