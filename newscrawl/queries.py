@@ -1135,6 +1135,49 @@ FROM s GROUP BY user_id, session_no
 """
 
 
+def q_url_canonicalize(spark, sf_dir):
+    """URL canonicalization (newscrawl/canonicalize.py semantics):
+    lowercase scheme+authority, strip default port and fragment, path
+    case preserved — the shard-key normalizer of the seen-set."""
+    from .canonicalize import canonical_url
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS://")).otherwise(
+            F.lit("https://")
+        ),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("News.Example.COM:443")).otherwise(
+            F.lit("news.example.com")
+        ),
+        F.lit("/Section/article-"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#ref")).otherwise(F.lit("")),
+    )
+    return docs.select(
+        "doc_id", raw.alias("raw_url"), canonical_url(raw).alias("canonical")
+    )
+
+
+SQL_URL_CANONICALIZE = """
+WITH r AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END)
+         || (CASE WHEN doc_id % 3 = 0 THEN 'News.Example.COM:443'
+                  ELSE 'news.example.com' END)
+         || '/Section/article-' || CAST(doc_id AS VARCHAR)
+         || (CASE WHEN doc_id % 5 = 0 THEN '#ref' ELSE '' END) AS raw_url
+  FROM documents
+), nf AS (
+  SELECT doc_id, raw_url, regexp_replace(raw_url, '#.*$', '') AS u FROM r
+)
+SELECT doc_id, raw_url,
+       regexp_replace(lower(regexp_extract(u, '^((?i)https?://[^/?#]*)', 1)),
+                      ':(80|443)$', '')
+       || regexp_replace(u, '^((?i)https?://[^/?#]*)', '') AS canonical
+FROM nf
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1170,6 +1213,7 @@ QUERIES = {
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "simhash_near_dup": (q_simhash_near_dup, SQL_SIMHASH_NEAR_DUP),
     "sessionization": (q_sessionization, SQL_SESSIONIZATION),
+    "url_canonicalize": (q_url_canonicalize, SQL_URL_CANONICALIZE),
     "lang_id_stopword": (q_lang_id_stopword, SQL_LANG_ID_STOPWORD),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
 }
