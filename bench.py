@@ -134,6 +134,55 @@ def bench_crawl(spark, scale: int) -> dict:
     }
 
 
+def bench_extract_stage(spark, scale: int) -> dict:
+    """Data-plane-only measurement: fetch join + extract UDF over the
+    RAM-cached corpus, one job, no state writes — the portion of a wave
+    whose resources (CPU, scan bandwidth) genuinely grow with cluster
+    size. Reported alongside the end-to-end number so the scaling
+    picture separates engine from sandbox disk."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from newscrawl import extract as ex
+    from newscrawl import priority, synth, wave
+    from newscrawl.storage import ManifestParquetCatalog
+
+    cfg = synth.SynthConfig(
+        n_seed=12000 * scale, n_total=12000 * scale, hot_universe=64,
+        n_waves=1, base_paras=30,
+    )
+    pages = synth.build_pages_df(
+        spark, cfg, num_partitions=spark.sparkContext.defaultParallelism * 4
+    ).persist()
+    pages.count()
+    seeds = priority.seed_ord(synth.build_seeds_df(spark, cfg))
+    # warmup (python workers, codegen)
+    warm_cfg = synth.SynthConfig(n_seed=2, n_total=8, hot_universe=16, n_waves=1)
+    wave.run_crawl(
+        spark,
+        ManifestParquetCatalog(tempfile.mkdtemp(prefix="newscrawl_warm_")),
+        warm_cfg,
+        pages=synth.build_pages_df(spark, warm_cfg, num_partitions=8),
+    )
+
+    fetched = pages.select("url", "warc_ts", "html").join(
+        F.broadcast(seeds), "url", "inner"
+    )
+    in_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in fetched.schema.fields
+        if f.name != "html"
+    )
+    extracted = fetched.mapInPandas(
+        ex.extract_pages, schema=f"{in_ddl}, {ex.EXTRACT_COLUMNS}"
+    )
+    t0 = time.perf_counter()
+    n = extracted.count()
+    sec = time.perf_counter() - t0
+    return {"urls": n, "sec": round(sec, 3), "urls_per_sec": round(n / sec, 1)}
+
+
 def bench_queries(spark, sf_dir: str) -> dict:
     from newscrawl.queries import QUERIES
 
@@ -147,9 +196,23 @@ def bench_queries(spark, sf_dir: str) -> dict:
     return out
 
 
-def run_once(cpus: int, sf_dir: str, scale: int, crawl_only: bool = False) -> dict:
+def run_once(
+    cpus: int, sf_dir: str, scale: int, crawl_only: bool = False,
+    extract_stage: bool = False,
+) -> dict:
     spark = build_spark(cpus)
     try:
+        if extract_stage:
+            st = bench_extract_stage(spark, scale)
+            return {
+                "metric": "extract_stage_sec",
+                "value": st["sec"],
+                "unit": "sec",
+                "queries": {},
+                "sf": 0,
+                "crawl": st,
+                "cpus": cpus,
+            }
         crawl = bench_crawl(spark, scale)
         qs = {} if crawl_only else bench_queries(spark, sf_dir)
         total = round(crawl["sec"] + sum(qs.values()), 3)
@@ -196,10 +259,21 @@ def scaling_report(sf_dir: str, scale: int) -> None:
             check=True,
         )
         results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+        out2 = subprocess.run(
+            ["taskset", "-c", cpuset, sys.executable, __file__, "--extract-stage"],
+            capture_output=True,
+            text=True,
+            env=env,
+            check=True,
+        )
+        results[(cpus, "stage")] = json.loads(out2.stdout.strip().splitlines()[-1])
     (lo, _), (hi, _) = pair
     r8 = results[lo]["crawl"]["urls_per_sec"]
     r32 = results[hi]["crawl"]["urls_per_sec"]
     eff = round((r32 / r8) / (hi / lo), 3)
+    s8 = results[(lo, "stage")]["crawl"]["urls_per_sec"]
+    s32 = results[(hi, "stage")]["crawl"]["urls_per_sec"]
+    eff_stage = round((s32 / s8) / (hi / lo), 3)
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
@@ -214,7 +288,15 @@ def scaling_report(sf_dir: str, scale: int) -> None:
             "|---|---|---|---|---|\n"
             f"| local[{lo}] @ {lo} CPUs (N) | {results[lo]['crawl']['pages']} | {results[lo]['crawl']['urls']} | {results[lo]['crawl']['sec']} | {r8} |\n"
             f"| local[{hi}] @ {hi} CPUs (4N) | {results[hi]['crawl']['pages']} | {results[hi]['crawl']['urls']} | {results[hi]['crawl']['sec']} | {r32} |\n\n"
-            f"**Scaling efficiency (T_4N / T_N) / 4 = {eff}** (target >= 0.8 on a\n"
+            "Data-plane only (fetch join + extract UDF over the cached corpus,\n"
+            "no state writes — the portion whose resources grow with cluster\n"
+            "size):\n\n"
+            "| parallelism | urls extracted | wall sec | urls/sec |\n"
+            "|---|---|---|---|\n"
+            f"| {lo} CPUs (N) | {results[(lo, 'stage')]['crawl']['urls']} | {results[(lo, 'stage')]['crawl']['sec']} | {s8} |\n"
+            f"| {hi} CPUs (4N) | {results[(hi, 'stage')]['crawl']['urls']} | {results[(hi, 'stage')]['crawl']['sec']} | {s32} |\n\n"
+            f"**Data-plane scaling efficiency = {eff_stage}**\n\n"
+            f"**End-to-end scaling efficiency (T_4N / T_N) / 4 = {eff}** (target >= 0.8 on a\n"
             "real multi-executor cluster; local-mode numbers under-report because\n"
             "per-wave fixed costs — JVM scheduling, snapshot commits, Python\n"
             "worker startup — don't parallelize, and a single shared driver JVM\n"
@@ -239,7 +321,12 @@ def scaling_report(sf_dir: str, scale: int) -> None:
             "~50-200 articles per 2-10 min run (~0.1-1.7 urls/sec ceiling,\n"
             "/root/reference README.md:399). See repo-root BASELINE.md.\n"
         )
-    print(json.dumps({"scaling_efficiency": eff, f"local{lo}": r8, f"local{hi}": r32}))
+    print(json.dumps({
+        "scaling_efficiency": eff,
+        "scaling_efficiency_data_plane": eff_stage,
+        f"local{lo}": r8,
+        f"local{hi}": r32,
+    }))
 
 
 def main() -> None:
@@ -249,7 +336,13 @@ def main() -> None:
     if "--scaling" in sys.argv:
         scaling_report(sf_dir, scale)
         return
-    res = run_once(cpus, sf_dir, scale, crawl_only="--crawl-only" in sys.argv)
+    res = run_once(
+        cpus,
+        sf_dir,
+        scale,
+        crawl_only="--crawl-only" in sys.argv,
+        extract_stage="--extract-stage" in sys.argv,
+    )
     print(json.dumps(res))
 
 
