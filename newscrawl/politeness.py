@@ -87,25 +87,40 @@ def budget_gate(
 def scaled_priority_key(df: DataFrame, host_state: DataFrame | None) -> DataFrame:
     """North-rule scaled scheduler ordering: (host budget, recency,
     news-source score). Used instead of the reference key when
-    reference-parity is not required. host_state(host, budget, news_score)
-    broadcasts; recency comes from the frontier's ord depth (fresher
-    discoveries crawl first)."""
+    reference-parity is not required.
+
+    host_state(host, budget, news_score, last_fetch_ts) broadcasts
+    (host-cardinality). Recency = how long the host has been idle:
+    hosts with the OLDEST last_fetch_ts sort first within a budget tier
+    (never-fetched hosts first of all); then news score, then discovery
+    depth and the reference ordering as tie-breaks.
+    """
     df = df if "host" in df.columns else with_host(df)
     if host_state is not None:
         df = df.join(F.broadcast(host_state), "host", "left")
     else:
-        df = df.withColumn("budget", F.lit(None).cast("int")).withColumn(
-            "news_score", F.lit(None).cast("double")
+        df = (
+            df.withColumn("budget", F.lit(None).cast("int"))
+            .withColumn("news_score", F.lit(None).cast("double"))
+            .withColumn("last_fetch_ts", F.lit(None).cast("timestamp"))
         )
     depth = F.size(F.split(F.col("ord"), r"\.")) - 1
+    # epoch seconds, zero-padded: older (smaller) sorts first; nulls
+    # (never fetched) map to 0 = highest recency priority
+    idle_key = F.lpad(
+        F.coalesce(F.col("last_fetch_ts").cast("long"), F.lit(0)).cast("string"),
+        12,
+        "0",
+    )
     return df.withColumn(
         SORT_KEY,
         F.format_string(
-            "%03d|%04.0f|%02d|%02d|%s",
+            "%03d|%s|%04.0f|%02d|%02d|%s",
             F.coalesce(F.col("budget"), F.lit(999)),
+            idle_key,
             (F.lit(1000) - F.coalesce(F.col("news_score"), F.lit(0)) * 1000),
             depth,
             F.col("source_rank"),
             F.col("ord"),
         ),
-    ).drop("budget", "news_score")
+    ).drop("budget", "news_score", "last_fetch_ts")

@@ -106,6 +106,9 @@ HOST_STATE = T.StructType(
         T.StructField("host", T.StringType(), False),
         T.StructField("budget", T.IntegerType(), True),
         T.StructField("news_score", T.DoubleType(), True),
+        # last successful fetch per host — recency input to the scaled
+        # scheduler (hosts idle longest crawl first within a budget tier)
+        T.StructField("last_fetch_ts", T.TimestampType(), True),
     ]
 )
 

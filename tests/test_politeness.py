@@ -102,8 +102,14 @@ def test_scaled_priority_key_orders_by_budget_and_score(spark):
     from newscrawl.schema import HOST_STATE
 
     df = priority.with_sort_key(_frontier(spark, n=20))
+    from datetime import datetime
+
     hs = spark.createDataFrame(
-        [("h0.example.com", 1, 0.9), ("h1.example.com", 500, 0.1)], schema=HOST_STATE
+        [
+            ("h0.example.com", 1, 0.9, None),
+            ("h1.example.com", 500, 0.1, datetime(2026, 1, 1)),
+        ],
+        schema=HOST_STATE,
     )
     out = politeness.scaled_priority_key(df.drop(priority.SORT_KEY), hs).collect()
     keyed = {r.url: r.sort_key for r in out}
@@ -123,3 +129,23 @@ def test_crawl_with_robots_blocks_host(spark, tmp_path):
     seen_urls = [r.url for r in wave.read_seen(spark, cat).collect()]
     assert seen_urls
     assert not any("bbc.example.com" in u for u in seen_urls)
+
+
+def test_scaled_priority_recency_orders_idle_hosts_first(spark):
+    from datetime import datetime
+
+    from newscrawl.schema import HOST_STATE
+
+    df = priority.with_sort_key(_frontier(spark, n=30))
+    # same budget/score; h2 fetched recently, h3 long ago, h4 never
+    hs = spark.createDataFrame(
+        [
+            ("h2.example.com", 10, 0.5, datetime(2026, 2, 1)),
+            ("h3.example.com", 10, 0.5, datetime(2026, 1, 1)),
+            ("h4.example.com", 10, 0.5, None),
+        ],
+        schema=HOST_STATE,
+    )
+    out = politeness.scaled_priority_key(df.drop(priority.SORT_KEY), hs).collect()
+    first = lambda h: min(r.sort_key for r in out if f"{h}." in r.url)
+    assert first("h4") < first("h3") < first("h2")  # never < oldest < recent
