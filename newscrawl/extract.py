@@ -11,14 +11,18 @@ Reference semantics mirrored:
   (/root/reference/ingest/utils.py:17-24): main-content selection
   (``<article>`` block), title + paragraph text, boilerplate
   (nav/cookie/footer) stripped.
-- ``clean_text`` is the reference's deterministic cleaning fallback
+- ``clean_text`` follows the SHAPE of the reference's cleaning fallback
   (/root/reference/ingest/call_to_genai.py:120-138, duplicated at
-  call_to_ollama.py:102-120): strip URLs, junk lines
-  (follow/share/sign up/subscribe/cookie), trailing spaces, squeeze
-  3+ newlines.
+  call_to_ollama.py:102-120): strip URLs, junk lines, trailing spaces,
+  squeeze 3+ newlines. The junk patterns are synthetic-corpus
+  adaptations (line-scoped follow/share/sign up/subscribe/cookie), not
+  a literal copy of the reference's sentence-scoped pattern list.
 - ``is_skip_title`` is the boilerplate title filter
   (/root/reference/ingest/classifier.py:64-71): case-insensitive
-  substring match; matched rows are still marked processed.
+  substring match; matched rows are still marked processed. The phrase
+  list carries the reference's five phrases verbatim PLUS
+  synthetic-corpus phrases (the synthetic titles exercise the filter
+  with newsletter/subscribe boilerplate instead of static-page titles).
 - ``discover_outlinks`` is the link-discovery step of the homepage/RSS
   scrapers (e.g. /root/reference/ingest/custom_scrapers.py:79-108),
   restricted to the article body's related-links block.
@@ -33,7 +37,13 @@ from typing import Optional
 MIN_TEXT_CHARS = 100  # reference custom_scrapers.py:376-378 (len < 100 dropped)
 
 SKIP_TITLE_PHRASES = (
-    # reference classifier.py:64-71 — 5 boilerplate phrases, case-insensitive
+    # reference classifier.py:64-71 — its 5 phrases verbatim
+    # (lowercased: matching is case-insensitive substring)
+    "data privacy policy",
+    "legal notice",
+    "accessibility statement",
+    "top stories in 90 seconds",
+    # synthetic-corpus adaptations (synth.py emits these title shapes)
     "sign up for our newsletter",
     "subscribe to",
     "cookie policy",

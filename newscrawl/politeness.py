@@ -57,29 +57,31 @@ def budget_gate(
     (host, salt) and pre-prunes to ``budget`` rows per salt — any row in
     a host's true top-``budget`` is necessarily within its salt's
     top-``budget``, so the prune is lossless for phase 2, which re-ranks
-    at most budget*n_salts rows per host for the exact answer. The
-    deferred set is recovered with an anti-join against the (small) kept
-    set rather than by tagging, so no Window ever sees a full hot-host
-    partition.
+    at most budget*n_salts rows per host for the exact answer. Deferred
+    rows are derived IN PLACE from the two rank columns (phase-1
+    overflow union phase-2 overflow) — no join and no broadcast of the
+    kept set, whose budget*n_hosts size is unbounded in host cardinality
+    at web scale.
     """
     if budget is None:
         return candidates, None
     df = candidates if SORT_KEY in candidates.columns else with_sort_key(candidates)
     df = df if "host" in df.columns else with_host(df)
+    out_cols = [c for c in df.columns if c not in ("host", "_rn1", "_rn2")]
 
     salt = F.pmod(F.xxhash64("url"), F.lit(n_salts))
     w1 = W.partitionBy("host", salt).orderBy(SORT_KEY)
-    pruned = df.withColumn("_rn1", F.row_number().over(w1)).filter(
-        F.col("_rn1") <= budget
-    )
+    phase1 = df.withColumn("_rn1", F.row_number().over(w1))
     w2 = W.partitionBy("host").orderBy(SORT_KEY)
-    kept = (
-        pruned.withColumn("_rn2", F.row_number().over(w2))
-        .filter(F.col("_rn2") <= budget)
-        .drop("_rn1", "_rn2", "host")
+    phase2 = (
+        phase1.filter(F.col("_rn1") <= budget)
+        .withColumn("_rn2", F.row_number().over(w2))
     )
-    deferred = df.drop("host").join(
-        F.broadcast(kept.select("url")), "url", "left_anti"
+    kept = phase2.filter(F.col("_rn2") <= budget).select(*out_cols)
+    deferred = (
+        phase1.filter(F.col("_rn1") > budget)
+        .select(*out_cols)
+        .unionByName(phase2.filter(F.col("_rn2") > budget).select(*out_cols))
     )
     return kept, deferred
 

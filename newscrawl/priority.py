@@ -74,8 +74,11 @@ def child_frontier(extracted: DataFrame) -> DataFrame:
             "source_rank",
             "section",
             "section_rank",
+            # format_string('%04d') WIDENS past 4 digits like the oracle's
+            # zfill(4); lpad would TRUNCATE '12345' to '1234', colliding
+            # child ords on any page with >=10000 outlinks
             F.concat(
-                F.col("_parent_ord"), F.lit("."), F.lpad(F.col("_pos").cast("string"), 4, "0")
+                F.col("_parent_ord"), F.lit("."), F.format_string("%04d", "_pos")
             ).alias("ord"),
         )
     )

@@ -206,6 +206,13 @@ class CuckooFilter:
     urls: if a wave aborts before commit, its entries are removed instead
     of poisoning the immutable bloom tier. Spills to the same
     (shard, bitmap, n_items) binary row format as the blooms.
+
+    Rollback-safety under overflow: when the eviction walk exhausts
+    MAX_KICKS the final displaced fingerprint — which belongs to a
+    PREVIOUSLY added item — is parked in a one-slot victim stash that
+    ``contains``/``delete`` consult, so a failed ``add`` can never turn
+    an earlier successful ``add`` into a false negative. ``add`` still
+    returns False to signal "full, spill to a bigger filter".
     """
 
     SLOTS = 4
@@ -217,6 +224,7 @@ class CuckooFilter:
         self.table = np.zeros((n_buckets, self.SLOTS), dtype=np.uint16)
         self.n_items = 0
         self._kick_state = np.uint64(0x243F6A8885A308D3)
+        self.victim = 0  # stashed fingerprint displaced by a failed add (0 = empty)
 
     def _fp_and_buckets(self, h: int) -> tuple[np.uint16, int, int]:
         mixed = _mix64(np.array([h], dtype=np.int64))[0]
@@ -227,6 +235,8 @@ class CuckooFilter:
         return fp, i1, i2
 
     def add(self, h: int) -> bool:
+        if self.victim:
+            return False  # already overflowed — caller must spill/grow
         fp, i1, i2 = self._fp_and_buckets(h)
         for i in (i1, i2):
             empty = np.where(self.table[i] == 0)[0]
@@ -250,11 +260,22 @@ class CuckooFilter:
                 self.table[i, empty[0]] = cur
                 self.n_items += 1
                 return True
-        return False  # full — caller should spill to a bigger filter
+        # Walk exhausted: park the dangling fingerprint (which belongs
+        # to a PREVIOUSLY added item — the new item's fp entered the
+        # table on the first swap) in the victim stash instead of
+        # dropping it. Every item ever added remains queryable; False
+        # only signals saturation — caller must spill to a bigger filter.
+        self.victim = int(cur)
+        self.n_items += 1
+        return False
 
     def contains(self, h: int) -> bool:
         fp, i1, i2 = self._fp_and_buckets(h)
-        return bool((self.table[i1] == fp).any() or (self.table[i2] == fp).any())
+        return bool(
+            (self.table[i1] == fp).any()
+            or (self.table[i2] == fp).any()
+            or self.victim == int(fp)
+        )
 
     def delete(self, h: int) -> bool:
         fp, i1, i2 = self._fp_and_buckets(h)
@@ -264,15 +285,24 @@ class CuckooFilter:
                 self.table[i, hit[0]] = 0
                 self.n_items -= 1
                 return True
+        if self.victim == int(fp):
+            self.victim = 0
+            self.n_items -= 1
+            return True
         return False
 
     def to_rows(self, shard: int = 0) -> list[tuple[int, bytes, int]]:
-        return [(shard, self.table.tobytes(), self.n_items)]
+        # victim stash rides along as one trailing uint16
+        blob = self.table.tobytes() + np.uint16(self.victim).tobytes()
+        return [(shard, blob, self.n_items)]
 
     @classmethod
     def from_rows(cls, rows, n_buckets: int = 1 << 14) -> "CuckooFilter":
         cf = cls(n_buckets)
         for _shard, blob, n in rows:
-            cf.table = np.frombuffer(bytes(blob), dtype=np.uint16).reshape(n_buckets, cls.SLOTS).copy()
+            flat = np.frombuffer(bytes(blob), dtype=np.uint16)
+            n_table = n_buckets * cls.SLOTS
+            cf.table = flat[:n_table].reshape(n_buckets, cls.SLOTS).copy()
+            cf.victim = int(flat[n_table]) if len(flat) > n_table else 0
             cf.n_items = int(n)
         return cf

@@ -94,28 +94,38 @@ DEDUP_OUT_SCHEMA = T.StructType(
 DEDUP_STATE_SCHEMA = T.StructType([T.StructField("hashes", T.BinaryType())])
 
 
+def _in_sorted(sorted_arr: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """Vectorized membership of ``values`` in a sorted int64 array."""
+    if len(sorted_arr) == 0:
+        return np.zeros(len(values), dtype=bool)
+    idx = np.searchsorted(sorted_arr, values)
+    idx = np.minimum(idx, len(sorted_arr) - 1)
+    return sorted_arr[idx] == values
+
+
 def _dedup_fn(key, pdf_iter, state):
     if state.exists:
         seen = np.frombuffer(bytes(state.get[0]), dtype=np.int64).copy()
     else:
         seen = np.empty(0, dtype=np.int64)
-    new: list[int] = []
+    new = np.empty(0, dtype=np.int64)  # kept sorted across batches
     for pdf in pdf_iter:
         hashes = pdf["url_hash"].to_numpy(dtype=np.int64)
-        fresh_mask = []
-        batch_seen = set(new)
-        for h in hashes:
-            idx = np.searchsorted(seen, h)
-            dup = (idx < len(seen) and seen[idx] == h) or int(h) in batch_seen
-            fresh_mask.append(not dup)
-            if not dup:
-                batch_seen.add(int(h))
-                new.append(int(h))
+        # one searchsorted per tier (state + this trigger's new hashes),
+        # plus a first-occurrence mask for intra-batch duplicates — all
+        # vectorized, no per-element Python loop
+        dup = _in_sorted(seen, hashes) | _in_sorted(new, hashes)
+        first = np.zeros(len(hashes), dtype=bool)
+        _, first_idx = np.unique(hashes, return_index=True)
+        first[first_idx] = True
+        fresh_mask = ~dup & first
         out = pdf.loc[fresh_mask, ["host", "url"]]
         if len(out):
             yield out
-    if new:
-        merged = np.sort(np.concatenate([seen, np.array(new, dtype=np.int64)]))
+        if fresh_mask.any():
+            new = np.sort(np.concatenate([new, hashes[fresh_mask]]))
+    if len(new):
+        merged = np.sort(np.concatenate([seen, new]))
         state.update((merged.tobytes(),))
 
 

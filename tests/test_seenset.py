@@ -95,3 +95,34 @@ def test_cuckoo_deterministic_under_eviction_pressure():
     t1, r1 = build()
     t2, r2 = build()
     assert t1 == t2 and r1 == r2  # eviction walk is seeded, not random
+
+def test_cuckoo_overflow_never_loses_added_items():
+    """Saturate a tiny filter until add() fails: every item whose add
+    succeeded — and the overflow item itself — must remain contained
+    (the victim stash catches the final displaced fingerprint)."""
+    cf = seenset.CuckooFilter(n_buckets=1 << 2)  # 16 slots
+    added = []
+    h = 0
+    while True:
+        h += 1
+        key = h * 2654435761
+        if cf.add(key):
+            added.append(key)
+        else:
+            overflow_key = key
+            break
+        assert h < 10_000, "filter never saturated"
+    assert all(cf.contains(k) for k in added), "lost a previously-added item"
+    assert cf.contains(overflow_key)  # stored across table + stash
+    assert cf.victim != 0
+    assert cf.n_items == len(added) + 1
+    # saturation is sticky until the stash is cleared
+    assert cf.add(999_999_999) is False
+    # stash survives serialization
+    cf2 = seenset.CuckooFilter.from_rows(cf.to_rows(), n_buckets=1 << 2)
+    assert all(cf2.contains(k) for k in added) and cf2.contains(overflow_key)
+    # deleting the stash's owner frees it
+    victims = [k for k in added + [overflow_key] if cf.victim == cf._fp_and_buckets(k)[0]]
+    if victims:
+        assert cf.delete(victims[0])
+        assert cf.victim == 0
