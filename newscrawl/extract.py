@@ -188,6 +188,179 @@ def analyze_text(text: str) -> tuple[int, float, str, float]:
     return n_tokens, stop_ratio, lang_pred, quality
 
 
+# ---------------------------------------------------------------------------
+# Enrichment stage: deterministic stand-ins for the reference's ML models.
+#
+# The reference classifies every non-skipped article with three model
+# pipelines — zero-shot topic over 12 candidate labels
+# (classifier.py:49-62,237), SST-2 sentiment (classifier.py:115-122,238),
+# and a BART summarizer gated at >200 chars (classifier.py:232-235,
+# summarizer.py:140-143) — plus GenAI entity extraction into
+# locations/organizations/persons buckets (classifier.py:240-247,264-277;
+# spacy_demo.py:107-125 is the local analog). The models themselves are
+# out of deterministic scope; these stand-ins reproduce the exact STAGE
+# SEMANTICS (same candidate labels, same output fields, same gates, same
+# distribution bookkeeping) with keyword lexicons — the same pattern as
+# the lang-ID heuristic above — so every downstream operator (per-wave
+# topic/sentiment distributions, webhook payloads, entity dedup) is
+# exercised end-to-end and oracle-checkable.
+# ---------------------------------------------------------------------------
+
+# The reference's 12 candidate labels verbatim (classifier.py:49-62).
+# Order matters: argmax ties resolve to the earliest label, mirroring
+# zero-shot `topic["labels"][0]` determinism.
+CANDIDATE_TOPICS = (
+    "politics and government",
+    "sports and athletics",
+    "science and research",
+    "technology and innovation",
+    "health and medicine",
+    "business and finance",
+    "entertainment and celebrity",
+    "crime and justice",
+    "climate and environment",
+    "education and schools",
+    "war and conflict",
+    "travel and tourism",
+)
+
+# Keyword lexicon (deterministic stand-in for the zero-shot scorer).
+# Covers both corpus vocabularies: the synthetic news corpus
+# (newscrawl/synth.py WORDS) and the driver's documents table.
+_TOPIC_WORDS: dict[str, tuple[str, ...]] = {
+    "politics and government": (
+        "policy", "vote", "summit", "election", "minister", "treaty",
+        "border", "order", "group",
+    ),
+    "sports and athletics": ("timber", "falcon", "heron", "big", "small", "sort"),
+    "science and research": (
+        "signal", "basalt", "granite", "quarry", "marble", "data", "vector",
+    ),
+    "technology and innovation": (
+        "beacon", "lantern", "zephyr", "copper", "spark", "column", "hash", "batch",
+    ),
+    "health and medicine": ("willow", "saffron", "juniper", "slow", "fast"),
+    "business and finance": (
+        "markets", "economy", "deal", "union", "strike", "customer", "value", "query",
+    ),
+    "entertainment and celebrity": ("velvet", "ivory", "sable", "window"),
+    "crime and justice": ("court", "protest", "filter", "scan"),
+    "climate and environment": (
+        "climate", "storm", "river", "energy", "glacier", "monsoon", "tundra",
+        "reef", "prairie", "meadow", "lagoon", "canyon", "stream",
+    ),
+    "education and schools": ("orchard", "key", "line", "part"),
+    "war and conflict": ("cinder", "ember", "dup", "agg"),
+    "travel and tourism": ("harbor", "drift", "join", "merge"),
+}
+TOPIC_LEXICON: dict[str, int] = {
+    w: CANDIDATE_TOPICS.index(t) for t, ws in _TOPIC_WORDS.items() for w in ws
+}
+
+# Signed sentiment lexicon (stand-in for SST-2 POSITIVE/NEGATIVE).
+POS_WORDS = frozenset(
+    "deal summit treaty beacon meadow orchard saffron ivory fast small merge".split()
+)
+NEG_WORDS = frozenset(
+    "storm strike protest cinder quarry slow big dup filter".split()
+)
+
+SUMMARY_GATE_CHARS = 200  # classifier.py:232-235 / summarizer.py:141-143
+SUMMARY_TOKENS = 48
+
+# Entity buckets (GenAI/spaCy stand-in; consistent with the
+# queries.ENTITY_VOCAB labels: GPE->locations, ORG->organizations,
+# PERSON->persons).
+_ENTITY_WORDS = {
+    "loc": (
+        "border", "harbor", "canyon", "tundra", "reef", "lagoon", "glacier",
+        "prairie", "meadow", "river", "row", "column", "key",
+    ),
+    "org": ("union", "court", "summit", "treaty", "spark", "table", "window"),
+    "per": ("minister", "falcon", "heron", "willow", "customer", "line"),
+}
+ENTITY_LEXICON: dict[str, str] = {
+    w: b for b, ws in _ENTITY_WORDS.items() for w in ws
+}
+
+
+def summarize(text: str) -> str:
+    """Deterministic summary stand-in with the reference's exact gate:
+    texts of <= 200 chars pass through unchanged (classifier.py:232-235);
+    longer texts reduce to their first SUMMARY_TOKENS whitespace tokens
+    (the stand-in for smart_summarize, summarizer.py:140-216)."""
+    text = (text or "").strip()
+    if len(text) <= SUMMARY_GATE_CHARS:
+        return text
+    return " ".join(text.split()[:SUMMARY_TOKENS])
+
+
+def classify_topic(text: str) -> str:
+    """Lexicon-hit argmax over the 12 candidate topics; ties (including
+    the zero-hit case) resolve to the earliest candidate label."""
+    scores = [0] * len(CANDIDATE_TOPICS)
+    for t in (text or "").lower().split():
+        i = TOPIC_LEXICON.get(t)
+        if i is not None:
+            scores[i] += 1
+    return CANDIDATE_TOPICS[scores.index(max(scores))]
+
+
+def classify_sentiment(text: str) -> tuple[str, float]:
+    """Signed-lexicon sentiment: label POSITIVE iff pos-hits >= neg-hits
+    (SST-2 label set); score is a confidence in [0.5, 1] like the
+    pipeline's softmax score."""
+    toks = (text or "").lower().split()
+    pos = sum(1 for t in toks if t in POS_WORDS)
+    neg = sum(1 for t in toks if t in NEG_WORDS)
+    label = "POSITIVE" if pos >= neg else "NEGATIVE"
+    score = round(0.5 + 0.5 * abs(pos - neg) / max(pos + neg, 1), 4)
+    return label, score
+
+
+def extract_entities(text: str) -> tuple[list[str], list[str], list[str]]:
+    """Bucketed entity lists (locations/organizations/persons) with
+    first-occurrence order-preserving dedup (the reference dedupes GenAI
+    entity lists the same way, call_to_genai.py:44-73)."""
+    buckets: dict[str, list[str]] = {"loc": [], "org": [], "per": []}
+    seen: set[str] = set()
+    for t in (text or "").lower().split():
+        b = ENTITY_LEXICON.get(t)
+        if b is not None and t not in seen:
+            seen.add(t)
+            buckets[b].append(t)
+    return buckets["loc"], buckets["org"], buckets["per"]
+
+
+# Output schema appended to the input columns by enrich_articles().
+ENRICH_COLUMNS = (
+    "summary string, topic string, sentiment_label string, "
+    "sentiment_score double, locations array<string>, "
+    "organizations array<string>, persons array<string>"
+)
+
+
+def enrich_articles(batch_iter: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+    """mapInPandas function: the classify stage, applied to ARTICLE rows
+    only (the reference enriches after the skip-title gate,
+    classifier.py:214-247 — never fetch failures or skipped pages).
+    Pure per-row over Arrow batches; shares the scalar functions above
+    with the reference oracle, so enrichment bytes agree by construction."""
+    for pdf in batch_iter:
+        texts = pdf["text"]
+        pdf = pdf.copy()
+        pdf["summary"] = [summarize(t) for t in texts]
+        pdf["topic"] = [classify_topic(t) for t in texts]
+        sent = [classify_sentiment(t) for t in texts]
+        pdf["sentiment_label"] = [s[0] for s in sent]
+        pdf["sentiment_score"] = [s[1] for s in sent]
+        ents = [extract_entities(t) for t in texts]
+        pdf["locations"] = [e[0] for e in ents]
+        pdf["organizations"] = [e[1] for e in ents]
+        pdf["persons"] = [e[2] for e in ents]
+        yield pdf
+
+
 def is_skip_title(title: str | None) -> bool:
     """Boilerplate-title filter (reference classifier.py:64-71,214-224).
     Matching rows are processed (seen) but produce no article."""

@@ -25,6 +25,7 @@ text bytes agree by construction; tests then verify it via sha256.
 from __future__ import annotations
 
 import hashlib
+from collections import Counter
 from dataclasses import dataclass, field
 
 from . import extract as ex
@@ -59,6 +60,10 @@ class WaveResult:
     n_carry: int = 0
     n_new_outlinks: int = 0
     n_candidates: int = 0
+    # classifier.py:295-318 — Counter.most_common (count desc, insertion
+    # = first-seen tie-break), percentage of total classified
+    topic_distribution: list[dict] = field(default_factory=list)
+    sentiment_distribution: list[dict] = field(default_factory=list)
 
 
 @dataclass
@@ -71,6 +76,19 @@ class OracleResult:
 
 def wave_id_for(i: int) -> str:
     return f"w{i:04d}"
+
+
+def _dist(counter: Counter, total: int) -> list[dict]:
+    """classifier.py:295-307 verbatim shape: most_common (count desc,
+    insertion-order ties) with percentage of total classified."""
+    return [
+        {
+            "label": label,
+            "count": count,
+            "percentage": round(100.0 * count / total, 2) if total else 0.0,
+        }
+        for label, count in counter.most_common()
+    ]
 
 
 def run_oracle(cfg: synth.SynthConfig, n_waves: int | None = None) -> OracleResult:
@@ -93,6 +111,8 @@ def run_oracle(cfg: synth.SynthConfig, n_waves: int | None = None) -> OracleResu
 
         carry: list[dict] = []
         children: list[dict] = []
+        topic_counter: Counter = Counter()
+        sentiment_counter: Counter = Counter()
         for row in cands:
             url = row["url"]
             if url in res.seen:  # anti-join vs persistent seen set (F1)
@@ -112,6 +132,14 @@ def run_oracle(cfg: synth.SynthConfig, n_waves: int | None = None) -> OracleResu
                 wave.n_skipped += 1
                 continue
             n_tokens, stop_ratio, lang_pred, quality = ex.analyze_text(page.text)
+            # classify stage (classifier.py:232-277): summary with the
+            # >200-char gate, topic, sentiment, entity buckets, the
+            # per-run sample id (the wave id here), isCleaned=False
+            topic = ex.classify_topic(page.text)
+            sent_label, sent_score = ex.classify_sentiment(page.text)
+            locs, orgs, pers = ex.extract_entities(page.text)
+            topic_counter[topic] += 1
+            sentiment_counter[sent_label] += 1
             wave.articles.append(
                 {
                     "url": url,
@@ -127,9 +155,21 @@ def run_oracle(cfg: synth.SynthConfig, n_waves: int | None = None) -> OracleResu
                     "lang_pred": lang_pred,
                     "quality": quality,
                     "fingerprint": ex.rolling_fingerprint(page.text),
+                    "summary": ex.summarize(page.text),
+                    "topic": topic,
+                    "sentiment_label": sent_label,
+                    "sentiment_score": sent_score,
+                    "locations": locs,
+                    "organizations": orgs,
+                    "persons": pers,
+                    "sample": wid,
+                    "is_cleaned": False,
                 }
             )
 
+        total_classified = len(wave.articles)
+        wave.topic_distribution = _dist(topic_counter, total_classified)
+        wave.sentiment_distribution = _dist(sentiment_counter, total_classified)
         wave.n_carry = len(carry)
         wave.n_new_outlinks = len(children)
         frontier = carry + children

@@ -53,8 +53,11 @@ SEEN = T.StructType(
     ]
 )
 
-# Crawl output (reference scraped-article shape, ingest/custom_scrapers.py:102-108,
-# plus the deterministic cleaner output, ingest/call_to_genai.py:120-138).
+# Crawl output: the reference's CLASSIFIED-article shape
+# (ingest/classifier.py:249-271 — title/url/summary/text/source/sample/
+# topic/sentiment/locations/organizations/persons/isCleaned), plus the
+# deterministic cleaner output (call_to_genai.py:120-138) and per-page
+# text-analysis enrichments (newscrawl/extract.py analyze_text).
 ARTICLES = T.StructType(
     [
         T.StructField("url", T.StringType(), False),
@@ -65,13 +68,25 @@ ARTICLES = T.StructType(
         T.StructField("wave_id", T.StringType(), False),
         T.StructField("warc_ts", T.TimestampType(), True),
         T.StructField("n_chars", T.LongType(), True),
-        # per-page text-analysis enrichments computed at extraction time
-        # (training-data pipeline additions; newscrawl/extract.py analyze_text)
         T.StructField("n_tokens", T.LongType(), True),
         T.StructField("stop_ratio", T.DoubleType(), True),
         T.StructField("lang_pred", T.StringType(), True),
         T.StructField("quality", T.DoubleType(), True),
         T.StructField("fingerprint", T.StringType(), True),
+        # classify-stage fields (deterministic stand-ins, extract.py
+        # enrichment section; reference classifier.py:232-271)
+        T.StructField("summary", T.StringType(), True),
+        T.StructField("topic", T.StringType(), True),
+        T.StructField("sentiment_label", T.StringType(), True),
+        T.StructField("sentiment_score", T.DoubleType(), True),
+        T.StructField("locations", T.ArrayType(T.StringType()), True),
+        T.StructField("organizations", T.ArrayType(T.StringType()), True),
+        T.StructField("persons", T.ArrayType(T.StringType()), True),
+        # the per-run metadata id the reference stamps on every article
+        # and processed link (classifier.py:192,254; 'sample') — the wave
+        # id is its deterministic analog here
+        T.StructField("sample", T.StringType(), True),
+        T.StructField("is_cleaned", T.BooleanType(), True),  # classifier.py:262
     ]
 )
 
@@ -87,6 +102,11 @@ WAVE_METRICS = T.StructType(
         T.StructField("n_carry", T.LongType(), True),
         T.StructField("n_new_outlinks", T.LongType(), True),
         T.StructField("source_distribution", T.StringType(), True),  # JSON
+        # the reference's per-run distribution metadata
+        # (classifier.py:295-318: Counter.most_common -> count-desc with
+        # first-seen tie-break, percentage of total classified), JSON
+        T.StructField("topic_distribution", T.StringType(), True),
+        T.StructField("sentiment_distribution", T.StringType(), True),
     ]
 )
 

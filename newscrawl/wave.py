@@ -128,6 +128,7 @@ def run_wave(
     failed = kept.join(extracted.select("url"), "url", "left_anti").select(
         *FRONTIER_COLS
     )
+    articles_en = None
     try:
         yielded = extracted.filter(F.col("yielded"))
 
@@ -139,7 +140,12 @@ def run_wave(
             F.lit(True).alias("is_processed"),
             F.col(priority.SORT_KEY).alias("sort_key"),
         )
-        articles = yielded.filter(~F.col("skip")).select(
+        # classify stage (reference classifier.py:214-277): enrichment
+        # runs on ARTICLE rows only — after the skip-title gate, never on
+        # fetch failures — as a second Arrow kernel over the (small
+        # relative to pages) article slice. sort_key rides along as _sk
+        # for the distribution tie-breaks and is dropped before commit.
+        articles_base = yielded.filter(~F.col("skip")).select(
             "url",
             "title",
             "text",
@@ -153,7 +159,25 @@ def run_wave(
             "lang_pred",
             "quality",
             "fingerprint",
+            F.col(priority.SORT_KEY).alias("_sk"),
         )
+        art_ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in articles_base.schema.fields
+        )
+        articles_en = (
+            articles_base.mapInPandas(
+                ex.enrich_articles, schema=f"{art_ddl}, {ex.ENRICH_COLUMNS}"
+            )
+            # 'sample' = the reference's per-run metadata id stamped on
+            # every classified article (classifier.py:192,254); the wave
+            # id is its deterministic analog. isCleaned inserted False
+            # verbatim (classifier.py:262).
+            .withColumn("sample", F.lit(wid))
+            .withColumn("is_cleaned", F.lit(False))
+        )
+        articles_en.persist()
+        articles = articles_en.select(*[f.name for f in ARTICLES.fields])
         # carry = fetch failures (anti-join side) + too-short pages +
         # budget-deferred rows; all retried next wave (reference scrapers
         # never insert_link for these, custom_scrapers.py:96-108,376-378)
@@ -194,6 +218,35 @@ def run_wave(
                 .collect()
             )
 
+        # per-wave topic/sentiment distributions (reference
+        # classifier.py:295-318) in ONE aggregation job over the enriched
+        # articles: both dimensions explode into (kind, label) rows so a
+        # single groupBy covers them; min(_sk) is the first-seen
+        # tie-break (Counter.most_common ties = insertion order = crawl
+        # order of the first article with that label).
+        def compute_dims():
+            return (
+                articles_en.select(
+                    "_sk",
+                    F.explode(
+                        F.array(
+                            F.struct(
+                                F.lit("topic").alias("kind"),
+                                F.col("topic").alias("label"),
+                            ),
+                            F.struct(
+                                F.lit("sentiment").alias("kind"),
+                                F.col("sentiment_label").alias("label"),
+                            ),
+                        )
+                    ).alias("d"),
+                )
+                .select("d.kind", "d.label", "_sk")
+                .groupBy("kind", "label")
+                .agg(F.count("*").alias("n"), F.min("_sk").alias("first_seen"))
+                .collect()
+            )
+
         # the wave's output jobs are independent of each other — submit
         # them concurrently so the driver doesn't serialize four small
         # writes + an agg behind one another (Spark schedules concurrent
@@ -208,7 +261,7 @@ def run_wave(
         # at 100 TB scale replace the constant with a rows/target-file-size
         # estimate from the manifest stats.
         n_out = max(2, spark.sparkContext.defaultParallelism // 4)
-        with ThreadPoolExecutor(max_workers=5) as pool:
+        with ThreadPoolExecutor(max_workers=6) as pool:
             f_frontier = pool.submit(
                 commit.write, "frontier", new_frontier.coalesce(n_out), "overwrite"
             )
@@ -217,6 +270,7 @@ def run_wave(
                 commit.write, "articles", articles.coalesce(n_out), "append"
             )
             f_stats = pool.submit(compute_stats)
+            f_dims = pool.submit(compute_dims)
             f_bloom = (
                 pool.submit(
                     lambda: seenset.build_bloom_rows(seen_delta).collect()
@@ -228,6 +282,7 @@ def run_wave(
             f_seen.result()
             f_articles.result()
             stat_rows = f_stats.result()
+            dim_rows = f_dims.result()
             bloom_delta_rows = f_bloom.result() if f_bloom is not None else None
         tick("parallel writes+stats")
 
@@ -245,6 +300,24 @@ def run_wave(
                 (r for r in stat_rows if r.n), key=lambda r: (-r.n, r.first_seen)
             )
         ]
+
+        def dim_dist(kind: str) -> str:
+            # percentage of total classified (= n_articles), count-desc
+            # with first-seen tie-break — classifier.py:295-307
+            rows = [r for r in dim_rows if r.kind == kind]
+            return json.dumps(
+                [
+                    {
+                        "label": r.label,
+                        "count": r.n,
+                        "percentage": round(100.0 * r.n / n_articles, 2)
+                        if n_articles
+                        else 0.0,
+                    }
+                    for r in sorted(rows, key=lambda r: (-r.n, r.first_seen))
+                ]
+            )
+
         metrics = {
             "wave_id": wid,
             "n_frontier": n_frontier,
@@ -255,6 +328,8 @@ def run_wave(
             "n_carry": n_frontier_next - n_children,
             "n_new_outlinks": n_children,
             "source_distribution": json.dumps(dist),
+            "topic_distribution": dim_dist("topic"),
+            "sentiment_distribution": dim_dist("sentiment"),
         }
         metrics_df = spark.createDataFrame(
             [tuple(metrics[f.name] for f in WAVE_METRICS.fields)], schema=WAVE_METRICS
@@ -275,6 +350,8 @@ def run_wave(
         tick("commit")
         return metrics
     finally:
+        if articles_en is not None:
+            articles_en.unpersist()
         extracted.unpersist()
         kept.unpersist()
         cands.unpersist()

@@ -55,7 +55,9 @@ def test_articles_match_oracle_fully(spark, crawl):
     catalog, _metrics, oracle = crawl
     cols = (
         "title text clean_text source wave_id n_chars "
-        "n_tokens stop_ratio lang_pred quality fingerprint"
+        "n_tokens stop_ratio lang_pred quality fingerprint "
+        "summary topic sentiment_label sentiment_score "
+        "locations organizations persons sample is_cleaned"
     ).split()
     got = {
         r.url: tuple(getattr(r, c) for c in cols)
@@ -66,6 +68,8 @@ def test_articles_match_oracle_fully(spark, crawl):
 
 
 def test_wave_metrics_match_oracle(spark, crawl):
+    import json
+
     _catalog, metrics, oracle = crawl
     assert len(metrics) == len(oracle.waves)
     for m, w in zip(metrics, oracle.waves):
@@ -76,6 +80,34 @@ def test_wave_metrics_match_oracle(spark, crawl):
         assert m["n_articles"] == len(w.articles)
         assert m["n_carry"] == w.n_carry
         assert m["n_new_outlinks"] == w.n_new_outlinks
+        # classifier.py:295-318 analog: exact list equality including the
+        # count-desc / first-seen ordering
+        assert json.loads(m["topic_distribution"]) == w.topic_distribution
+        assert json.loads(m["sentiment_distribution"]) == w.sentiment_distribution
+
+
+def test_topic_sentiment_diversity(crawl):
+    """The stand-in classifiers must actually discriminate on this corpus
+    (a constant-label classifier would pass the parity diff trivially)."""
+    _catalog, _metrics, oracle = crawl
+    topics = {a["topic"] for w in oracle.waves for a in w.articles}
+    sents = {a["sentiment_label"] for w in oracle.waves for a in w.articles}
+    assert len(topics) >= 4, topics
+    assert sents == {"POSITIVE", "NEGATIVE"}, sents
+    # entity buckets populated somewhere
+    assert any(a["locations"] for w in oracle.waves for a in w.articles)
+    assert any(a["organizations"] for w in oracle.waves for a in w.articles)
+    assert any(a["persons"] for w in oracle.waves for a in w.articles)
+    # summary gate: long texts shortened, short texts pass through
+    from newscrawl import extract as ex
+
+    arts = [a for w in oracle.waves for a in w.articles]
+    assert any(len(a["text"]) > ex.SUMMARY_GATE_CHARS for a in arts)
+    for a in arts:
+        if len(a["text"]) <= ex.SUMMARY_GATE_CHARS:
+            assert a["summary"] == a["text"].strip()
+        else:
+            assert len(a["summary"].split()) <= ex.SUMMARY_TOKENS
 
 
 def test_parallelism_invariance(spark, tmp_path):
