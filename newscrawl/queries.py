@@ -1179,6 +1179,267 @@ FROM nf
 
 
 # ---------------------------------------------------------------------------
+# Classify-stage operators (reference classifier.py:232-318): topic +
+# sentiment assignment via the deterministic lexicons shared with the
+# crawl engine (newscrawl/extract.py), their per-corpus distributions,
+# the >200-char summary gate, and entity bucketing into arrays.
+# ---------------------------------------------------------------------------
+
+
+def _toks():
+    return F.split(F.lower(F.col("text")), r"\s+")
+
+
+def _topic_label_col():
+    """Lexicon-hit argmax over the 12 candidate topics; ties (incl. the
+    zero-hit case) resolve to the earliest candidate — the same rule as
+    extract.classify_topic (zero-shot labels[0] analog)."""
+    from .extract import CANDIDATE_TOPICS, _TOPIC_WORDS
+
+    toks = _toks()
+    scores = [
+        F.size(F.filter(toks, lambda t: t.isin(*_TOPIC_WORDS[topic])))
+        for topic in CANDIDATE_TOPICS
+    ]
+    m = F.greatest(*scores)
+    label = F.when(scores[0] == m, F.lit(CANDIDATE_TOPICS[0]))
+    for s, topic in zip(scores[1:], CANDIDATE_TOPICS[1:]):
+        label = label.when(s == m, F.lit(topic))
+    return label
+
+
+def _sql_topic_label(alias: str = "topic") -> str:
+    from .extract import CANDIDATE_TOPICS, _TOPIC_WORDS
+
+    def score(topic):
+        words = ", ".join(f"'{w}'" for w in _TOPIC_WORDS[topic])
+        return (
+            "len(list_filter(string_split_regex(lower(text), '\\s+'),"
+            f" t -> t IN ({words})))"
+        )
+
+    scores = [score(t) for t in CANDIDATE_TOPICS]
+    m = "greatest(" + ", ".join(scores) + ")"
+    chain = " ".join(
+        f"WHEN {s} = {m} THEN '{t}'" for s, t in zip(scores, CANDIDATE_TOPICS)
+    )
+    return f"CASE {chain} END AS {alias}"
+
+
+def _sentiment_cols():
+    from .extract import NEG_WORDS, POS_WORDS
+
+    toks = _toks()
+    pos = F.size(F.filter(toks, lambda t: t.isin(*sorted(POS_WORDS))))
+    neg = F.size(F.filter(toks, lambda t: t.isin(*sorted(NEG_WORDS))))
+    label = F.when(pos >= neg, F.lit("POSITIVE")).otherwise(F.lit("NEGATIVE"))
+    score = F.round(
+        0.5 + 0.5 * F.abs(pos - neg) / F.greatest(pos + neg, F.lit(1)), 4
+    )
+    return label, score
+
+
+def _sql_sentiment(label_alias="sentiment_label", score_alias="sentiment_score"):
+    from .extract import NEG_WORDS, POS_WORDS
+
+    def hits(words):
+        lst = ", ".join(f"'{w}'" for w in sorted(words))
+        return (
+            "len(list_filter(string_split_regex(lower(text), '\\s+'),"
+            f" t -> t IN ({lst})))"
+        )
+
+    pos, neg = hits(POS_WORDS), hits(NEG_WORDS)
+    return (
+        f"CASE WHEN {pos} >= {neg} THEN 'POSITIVE' ELSE 'NEGATIVE' END AS {label_alias}, "
+        f"round(0.5 + 0.5 * abs({pos} - {neg}) / greatest({pos} + {neg}, 1), 4)"
+        f" AS {score_alias}"
+    )
+
+
+def q_topic_classify(spark, sf_dir):
+    """Classify stage per document (reference classifier.py:237-238):
+    zero-shot-topic + sentiment stand-ins, one row per doc. Pure JVM
+    higher-order functions — the lexicons compile into the plan."""
+    docs = _t(spark, sf_dir, "documents")
+    label, score = _sentiment_cols()
+    return docs.select(
+        "doc_id",
+        _topic_label_col().alias("topic"),
+        label.alias("sentiment_label"),
+        score.alias("sentiment_score"),
+    )
+
+
+SQL_TOPIC_CLASSIFY = f"""
+SELECT doc_id, {_sql_topic_label()}, {_sql_sentiment()}
+FROM documents
+"""
+
+
+def q_topic_distribution(spark, sf_dir):
+    """A1/A2 on the reference's actual dimension (classifier.py:295-307):
+    per-topic counts, percentage of total classified, and the
+    most_common rank (count desc, first-seen = min doc_id tie-break)."""
+    docs = _t(spark, sf_dir, "documents")
+    agg = (
+        docs.select("doc_id", _topic_label_col().alias("label"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("first_doc"))
+    )
+    total = agg.groupBy().agg(F.sum("n").alias("_total"))
+    w = W.orderBy(F.col("n").desc(), "first_doc")
+    return (
+        agg.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            "label",
+            "n",
+            F.round(F.lit(100.0) * F.col("n") / F.col("_total"), 2).alias("pct"),
+            "rank",
+        )
+    )
+
+
+SQL_TOPIC_DISTRIBUTION = f"""
+WITH lab AS (
+  SELECT doc_id, {_sql_topic_label("label")} FROM documents
+), agg AS (
+  SELECT label, count(*) AS n, min(doc_id) AS first_doc FROM lab GROUP BY label
+)
+SELECT label, n,
+       round(100.0 * n / (SELECT sum(n) FROM agg), 2) AS pct,
+       CAST(row_number() OVER (ORDER BY n DESC, first_doc) AS INT) AS rank
+FROM agg
+"""
+
+
+def q_sentiment_distribution(spark, sf_dir):
+    """Per-label sentiment distribution (classifier.py:309-313) with the
+    same most_common ordering semantics as topic_distribution."""
+    docs = _t(spark, sf_dir, "documents")
+    label, _score = _sentiment_cols()
+    agg = (
+        docs.select("doc_id", label.alias("label"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n"), F.min("doc_id").alias("first_doc"))
+    )
+    total = agg.groupBy().agg(F.sum("n").alias("_total"))
+    w = W.orderBy(F.col("n").desc(), "first_doc")
+    return (
+        agg.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            "label",
+            "n",
+            F.round(F.lit(100.0) * F.col("n") / F.col("_total"), 2).alias("pct"),
+            "rank",
+        )
+    )
+
+
+SQL_SENTIMENT_DISTRIBUTION = f"""
+WITH lab AS (
+  SELECT doc_id, {_sql_sentiment(label_alias="label", score_alias="_s")} FROM documents
+), agg AS (
+  SELECT label, count(*) AS n, min(doc_id) AS first_doc FROM lab GROUP BY label
+)
+SELECT label, n,
+       round(100.0 * n / (SELECT sum(n) FROM agg), 2) AS pct,
+       CAST(row_number() OVER (ORDER BY n DESC, first_doc) AS INT) AS rank
+FROM agg
+"""
+
+
+def q_summary_gate(spark, sf_dir):
+    """Summary stage with the reference's exact gate (classifier.py:
+    232-235, summarizer.py:141-143): <=200 chars passes through, longer
+    texts reduce to the first 48 whitespace tokens (the deterministic
+    smart_summarize stand-in, extract.summarize)."""
+    from .extract import SUMMARY_GATE_CHARS, SUMMARY_TOKENS
+
+    docs = _t(spark, sf_dir, "documents")
+    trimmed = F.trim(F.col("text"))
+    prefix = F.concat_ws(
+        " ", F.slice(F.split(trimmed, r"\s+"), 1, SUMMARY_TOKENS)
+    )
+    gate = F.length(trimmed) <= SUMMARY_GATE_CHARS
+    return docs.select(
+        "doc_id",
+        F.when(gate, trimmed).otherwise(prefix).alias("summary"),
+        (~gate).alias("is_summarized"),
+    )
+
+
+def _sql_summary_gate() -> str:
+    from .extract import SUMMARY_GATE_CHARS, SUMMARY_TOKENS
+
+    return f"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) <= {SUMMARY_GATE_CHARS} THEN trim(text)
+            ELSE array_to_string(
+                   (string_split_regex(trim(text), '\\s+'))[1:{SUMMARY_TOKENS}], ' ')
+       END AS summary,
+       length(trim(text)) > {SUMMARY_GATE_CHARS} AS is_summarized
+FROM documents
+"""
+
+
+SQL_SUMMARY_GATE = _sql_summary_gate()
+
+
+def q_article_entities(spark, sf_dir):
+    """Entity extraction into the classified-article buckets
+    (classifier.py:264-277; spacy_demo.py:107-125): one row per doc with
+    locations/organizations/persons. Arrays emitted sorted-distinct and
+    comma-joined for cross-engine value comparison (the wave path keeps
+    first-occurrence order via the shared extract.extract_entities)."""
+    from .extract import _ENTITY_WORDS
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = _toks()
+
+    def bucket(words):
+        return F.concat_ws(
+            ",",
+            F.array_sort(
+                F.array_distinct(F.filter(toks, lambda t: t.isin(*words)))
+            ),
+        )
+
+    return docs.select(
+        "doc_id",
+        bucket(_ENTITY_WORDS["loc"]).alias("locations"),
+        bucket(_ENTITY_WORDS["org"]).alias("organizations"),
+        bucket(_ENTITY_WORDS["per"]).alias("persons"),
+    )
+
+
+def _sql_article_entities() -> str:
+    from .extract import _ENTITY_WORDS
+
+    def bucket(key, alias):
+        lst = ", ".join(f"'{w}'" for w in _ENTITY_WORDS[key])
+        # coalesce: DuckDB's list_sort of an empty list yields NULL
+        return (
+            "coalesce(array_to_string(list_sort(list_distinct(list_filter("
+            f"string_split_regex(lower(text), '\\s+'), t -> t IN ({lst})))), ','), '')"
+            f" AS {alias}"
+        )
+
+    return f"""
+SELECT doc_id,
+       {bucket("loc", "locations")},
+       {bucket("org", "organizations")},
+       {bucket("per", "persons")}
+FROM documents
+"""
+
+
+SQL_ARTICLE_ENTITIES = _sql_article_entities()
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1216,4 +1477,9 @@ QUERIES = {
     "url_canonicalize": (q_url_canonicalize, SQL_URL_CANONICALIZE),
     "lang_id_stopword": (q_lang_id_stopword, SQL_LANG_ID_STOPWORD),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "topic_classify": (q_topic_classify, SQL_TOPIC_CLASSIFY),
+    "topic_distribution": (q_topic_distribution, SQL_TOPIC_DISTRIBUTION),
+    "sentiment_distribution": (q_sentiment_distribution, SQL_SENTIMENT_DISTRIBUTION),
+    "summary_gate": (q_summary_gate, SQL_SUMMARY_GATE),
+    "article_entities": (q_article_entities, SQL_ARTICLE_ENTITIES),
 }
