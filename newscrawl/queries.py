@@ -965,48 +965,84 @@ WHERE CASE w {_ENTITY_CASE} END IS NOT NULL
 """
 
 
-def q_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (cosine >= 0.40).
+N_GEMM_BLOCKS = 8
 
-    Scale pattern: block matrix multiply. One side of the pair space is
-    broadcast as a dense numpy matrix (n x d doubles — at 100 TB this is
-    one LSH/IVF bucket, not the full corpus); the other side streams
-    through mapInPandas and each Arrow batch does a single GEMM against
-    the broadcast block. A per-pair expression join on the same input
-    is ~100x slower (measured: 60s -> <2s at sf0.1)."""
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.40), exact.
+
+    Scale pattern: distributed block-pair matrix multiply. Vectors hash
+    into B blocks; each of the B(B+1)/2 unordered block pairs becomes
+    one shuffle group (rows replicate via a broadcast-joined static
+    (block -> pair) table, B copies per row), and each group runs ONE
+    numpy GEMM between its two sides inside applyInPandas. Nothing is
+    ever materialized on the driver and no task holds more than two
+    blocks (~2n/B vectors) — at corpus scale pick B so a block fits an
+    executor, and the exact O(n^2/2) FLOPs spread evenly over the
+    cluster. Sub-quadratic *approximate* siblings already in the repo:
+    minhash_lsh_candidates, simhash_near_dup, knn_ivf."""
     import numpy as np
     import pandas as pd
 
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # the broadcast block: one bucket's vectors (small by construction)
-    block = emb.toPandas()
-    ids = np.array(block["vec_id"], dtype=np.int64)
-    mat = np.array([np.asarray(v, dtype=np.float64) for v in block["embedding"]])
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
+    emb = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .withColumn(
+            "_blk", F.pmod(F.xxhash64("vec_id"), F.lit(N_GEMM_BLOCKS)).cast("int")
+        )
+    )
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(N_GEMM_BLOCKS) for j in range(i, N_GEMM_BLOCKS)],
+        "bi int, bj int",
+    )
+    lhs = emb.join(F.broadcast(pairs), F.col("_blk") == F.col("bi")).withColumn(
+        "side", F.lit(0)
+    )
+    rhs = emb.join(
+        F.broadcast(pairs.filter(F.col("bi") < F.col("bj"))),
+        F.col("_blk") == F.col("bj"),
+    ).withColumn("side", F.lit(1))
+    tagged = lhs.unionByName(rhs).select("bi", "bj", "side", "vec_id", "embedding")
 
-    def pairs(batch_iter):
-        all_ids = b_ids.value
-        all_mat = b_mat.value
-        for pdf in batch_iter:
-            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            a_mat = np.array(
-                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
-            )
-            a_mat = a_mat / np.linalg.norm(a_mat, axis=1, keepdims=True)
-            cos = a_mat @ all_mat.T  # the GEMM
-            ai, bi = np.nonzero(cos >= 0.40)
-            keep = a_ids[ai] < all_ids[bi]  # dedup + drop self-pairs
-            yield pd.DataFrame(
-                {
-                    "vec_a": a_ids[ai][keep],
-                    "vec_b": all_ids[bi][keep],
-                    "cosine": np.round(cos[ai, bi][keep], 4),
-                }
-            )
+    def _mat(pdf):
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        m = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        if len(m):
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        return ids, m
 
-    return emb.mapInPandas(pairs, schema="vec_a long, vec_b long, cosine double")
+    empty = pd.DataFrame(
+        {
+            "vec_a": pd.Series(dtype="int64"),
+            "vec_b": pd.Series(dtype="int64"),
+            "cosine": pd.Series(dtype="float64"),
+        }
+    )
+
+    def gemm(pdf: pd.DataFrame) -> pd.DataFrame:
+        a_ids, a = _mat(pdf[pdf["side"] == 0])
+        diagonal = not (pdf["side"] == 1).any()
+        if diagonal:
+            b_ids, b = a_ids, a
+        else:
+            b_ids, b = _mat(pdf[pdf["side"] == 1])
+        if not len(a) or not len(b):
+            return empty
+        cos = a @ b.T  # the GEMM
+        ai, bi = np.nonzero(cos >= 0.40)
+        ia, ib = a_ids[ai], b_ids[bi]
+        keep = ia < ib if diagonal else ia != ib  # drop self, count once
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(ia, ib)[keep],
+                "vec_b": np.maximum(ia, ib)[keep],
+                "cosine": np.round(cos[ai, bi][keep], 4),
+            }
+        )
+
+    return tagged.groupBy("bi", "bj").applyInPandas(
+        gemm, schema="vec_a long, vec_b long, cosine double"
+    )
 
 
 SQL_EMBEDDING_NEAR_DUP = """

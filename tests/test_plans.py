@@ -95,3 +95,20 @@ def test_bucketed_fetch_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS pages_b")
         spark.sql("DROP TABLE IF EXISTS frontier_b")
+
+
+def test_embedding_near_dup_never_materializes_on_driver(spark, monkeypatch):
+    """The block-pair GEMM must be fully distributed: fail the test if
+    any driver-side materialization (toPandas/collect) happens while
+    building OR executing the query."""
+    from pyspark.sql import DataFrame
+
+    from newscrawl.queries import q_embedding_near_dup
+
+    def boom(self, *a, **k):
+        raise AssertionError("driver-side materialization in q_embedding_near_dup")
+
+    monkeypatch.setattr(DataFrame, "toPandas", boom)
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    df = q_embedding_near_dup(spark, "/root/testdata/sf0.01")
+    assert df.count() > 0  # count() is the driver's one legal aggregate
