@@ -449,32 +449,36 @@ CASE WHEN len(string_split_regex(lower(text), '\\s+')) >= 3
 
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
-    """Near-dup detection: word-3-gram Jaccard similarity >= threshold,
-    via shingle explode + self-join + per-pair intersection counts.
-    All JVM-side (higher-order functions + joins), no UDF."""
+    """Near-dup detection, candidates-then-verify: MinHash-LSH candidate
+    pairs (q_minhash_lsh_candidates — banded, bucketed) verified with
+    the EXACT word-3-gram Jaccard, keeping pairs >= threshold.
+
+    This is the scale shape: a raw shingle self-join makes every
+    document pair sharing ANY common 3-gram meet in the shuffle —
+    frequent shingles are hot keys and the pair space degrades toward
+    O(n^2) on boilerplate-heavy corpora. LSH candidates bound the
+    verified pairs to band collisions (recall is the LSH S-curve:
+    ~1-(1-j^2)^4 per pair — near-certain for true near-dups, by design
+    not exhaustive at the threshold floor). All JVM-side."""
     docs = _shingled(_t(spark, sf_dir, "documents"))
     sized = docs.withColumn("n_sh", F.size("sh")).filter(F.col("n_sh") > 0)
-    # join on a 64-bit hash of the shingle, not the string: cheaper
-    # shuffle + compares; collision odds at any realistic shingle count
-    # are ~2^-64 per pair (intermediate key only — output is exact ids)
-    ex = sized.select(
-        "doc_id", "n_sh", F.explode("sh").alias("s_str")
-    ).select("doc_id", "n_sh", F.xxhash64("s_str").alias("s"))
-    a = ex.alias("a")
-    b = ex.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
-        )
-        .agg(F.count("*").alias("inter"))
+    cand = q_minhash_lsh_candidates(spark, sf_dir)
+    a = sized.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("n_sh").alias("na"),
     )
-    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    b = sized.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("n_sh").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.col("na") + F.col("nb") - inter)
     return (
-        pairs.filter(jac >= JACCARD_THRESHOLD)
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 
@@ -484,17 +488,16 @@ WITH sh AS (
   SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents
 ), sized AS (
   SELECT doc_id, sh, len(sh) AS n_sh FROM sh WHERE len(sh) > 0
-), ex AS (
-  SELECT doc_id, n_sh, unnest(sh) AS s FROM sized
-), pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
-         count(*) AS inter
-  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2, 3, 4
+), verified AS (
+  SELECT cand.doc_a, cand.doc_b, a.n_sh AS na, b.n_sh AS nb,
+         len(list_filter(a.sh, s -> list_contains(b.sh, s))) AS inter
+  FROM ({{minhash_candidates}}) cand
+  JOIN sized a ON a.doc_id = cand.doc_a
+  JOIN sized b ON b.doc_id = cand.doc_b
 )
 SELECT doc_a, doc_b,
        round(inter / (na + nb - inter), 4) AS jaccard
-FROM pairs
+FROM verified
 WHERE inter / (na + nb - inter) >= {JACCARD_THRESHOLD}
 """
 
@@ -558,6 +561,12 @@ FROM bands a JOIN bands b
 
 
 SQL_MINHASH_LSH_CANDIDATES = _sql_minhash()
+
+# the verify step's candidate subquery is the minhash SQL verbatim
+# (DuckDB allows a WITH inside a parenthesized subquery)
+SQL_NGRAM_JACCARD_PAIRS = SQL_NGRAM_JACCARD_PAIRS.format(
+    minhash_candidates=SQL_MINHASH_LSH_CANDIDATES
+)
 
 
 def q_knn_cosine(spark, sf_dir):
