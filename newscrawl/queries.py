@@ -29,6 +29,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Equalize parallelism ahead of a CPU-heavy Arrow kernel when the
+    scan yields fewer splits than cores (the small-single-file case —
+    parquet can't split below a row group). At corpus scale the scan
+    has >= cores splits and this is a no-op; the branch never pays a
+    shuffle where the data is big."""
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores)
+    return df
+
+
 def _utc(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
@@ -418,27 +431,10 @@ FROM documents GROUP BY md5(text)
 """
 
 
-def _shingled(docs: DataFrame) -> DataFrame:
-    """documents -> (doc_id, sh array<string>) of distinct word 3-gram
-    shingles. Tokens are materialized as a column FIRST so the regex
-    split runs once per row — inlining it into the transform() lambda
-    would re-split per array element (O(n^2) regex calls per doc)."""
-    toks = F.col("toks")
-    n = F.size(toks)
-    sh = F.when(
-        n >= 3,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n - 2),
-                lambda j: F.concat_ws(" ", F.slice(toks, j, 3)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return docs.withColumn("toks", F.split(F.lower(F.col("text")), r"\s+")).select(
-        "doc_id", sh.alias("sh")
-    )
-
-
+# Word-3-gram shingle construction, shared by every dedup oracle: in
+# DuckDB as the list comprehension below; on the Spark side the dedup
+# queries build the identical shingle set inside their Arrow kernels
+# (re.split(r"\\s+") matches split()'s regex semantics both engines use).
 _SQL_SHINGLES = """
 CASE WHEN len(string_split_regex(lower(text), '\\s+')) >= 3
      THEN list_distinct([array_to_string(
@@ -459,9 +455,36 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     O(n^2) on boilerplate-heavy corpora. LSH candidates bound the
     verified pairs to band collisions (recall is the LSH S-curve:
     ~1-(1-j^2)^4 per pair — near-certain for true near-dups, by design
-    not exhaustive at the threshold floor). All JVM-side."""
-    docs = _shingled(_t(spark, sf_dir, "documents"))
-    sized = docs.withColumn("n_sh", F.size("sh")).filter(F.col("n_sh") > 0)
+    not exhaustive at the threshold floor)."""
+    import re
+
+    import pandas as pd
+
+    def shingle_kernel(batch_iter):
+        for pdf in batch_iter:
+            ids, shs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = re.split(r"\s+", (text or "").lower())
+                if len(toks) < 3:
+                    continue
+                ids.append(doc_id)
+                shs.append(
+                    list(
+                        dict.fromkeys(
+                            " ".join(toks[i : i + 3])
+                            for i in range(len(toks) - 2)
+                        )
+                    )
+                )
+            out = pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64")})
+            out["sh"] = shs
+            yield out
+
+    sized = (
+        _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+        .mapInPandas(shingle_kernel, schema="doc_id long, sh array<string>")
+        .withColumn("n_sh", F.size("sh"))
+    )
     cand = q_minhash_lsh_candidates(spark, sf_dir)
     a = sized.select(
         F.col("doc_id").alias("doc_a"),
@@ -502,26 +525,74 @@ WHERE inter / (na + nb - inter) >= {JACCARD_THRESHOLD}
 """
 
 
+def _minhash_signatures(spark, sf_dir):
+    """(doc_id, h0..h7) MinHash signatures: h_i = min over word-3-gram
+    shingles of hex(md5(f'{i}|{shingle}')) — a deterministic random
+    permutation both engines share (min of hex strings == min of digest
+    bytes). Computed per doc in one Arrow kernel instead of 8 min-aggs
+    over exploded shingle rows: the signature rides the scan, nothing
+    explodes or shuffles before the (tiny) band join."""
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    def kernel(batch_iter):
+        for pdf in batch_iter:
+            ids, sigs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = re.split(r"\s+", (text or "").lower())
+                if len(toks) < 3:
+                    continue
+                shingles = set(
+                    " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+                )
+                ids.append(doc_id)
+                sigs.append(
+                    tuple(
+                        min(
+                            hashlib.md5(f"{i}|{s}".encode("utf-8")).hexdigest()
+                            for s in shingles
+                        )
+                        for i in range(N_MINHASH)
+                    )
+                )
+            out = pd.DataFrame(
+                sigs, columns=[f"h{i}" for i in range(N_MINHASH)], dtype="object"
+            )
+            out.insert(0, "doc_id", pd.Series(ids, dtype="int64"))
+            yield out
+
+    ddl = "doc_id long, " + ", ".join(f"h{i} string" for i in range(N_MINHASH))
+    return _spread(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ).mapInPandas(kernel, schema=ddl)
+
+
 def q_minhash_lsh_candidates(spark, sf_dir):
     """MinHash+LSH near-dup candidates: 8 string-minhashes over word
     3-gram shingles (min of md5(seed|shingle) — a deterministic random
     permutation both engines share), banded 4x2; candidate pairs share
     at least one band. Oracle-able because md5 is identical everywhere."""
-    docs = _shingled(_t(spark, sf_dir, "documents"))
-    ex = docs.filter(F.size("sh") > 0).select("doc_id", F.explode("sh").alias("s"))
-    aggs = [
-        F.min(F.md5(F.encode(F.concat(F.lit(f"{i}|"), F.col("s")), "utf-8"))).alias(f"h{i}")
-        for i in range(N_MINHASH)
-    ]
-    sig = ex.groupBy("doc_id").agg(*aggs)
-    bands = None
-    for b in range(N_MINHASH // 2):
-        part = sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.concat(F.col(f"h{2*b}"), F.col(f"h{2*b+1}")).alias("key"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    sig = _minhash_signatures(spark, sf_dir)
+    # ONE explode per evaluation (a 4-way union of selects would
+    # re-evaluate the signature kernel once per band per join side)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat(
+                            F.col(f"h{2*b}"), F.col(f"h{2*b+1}")
+                        ).alias("key"),
+                    )
+                    for b in range(N_MINHASH // 2)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
     a = bands.alias("a")
     c = bands.alias("b")
     return (
@@ -859,31 +930,54 @@ FROM documents
 def q_simhash(spark, sf_dir):
     """SimHash document signature over word-3-gram shingles: per bit b of
     md5(shingle)'s first 64 bits, sign-sum across shingles; bit=1 iff
-    sum>0. Emitted as a 64-char bitstring (cross-engine-stable — md5 and
-    string ops only, no engine-specific hash)."""
-    docs = _shingled(_t(spark, sf_dir, "documents"))
-    ex = docs.filter(F.size("sh") > 0).select("doc_id", F.explode("sh").alias("s"))
-    # decode the 16 hex nibbles ONCE per shingle row, then derive the 64
-    # bit signs from the materialized nibble columns — 4x fewer
-    # conv() evaluations than inlining the decode into every bit agg
-    h = F.md5(F.encode(F.col("s"), "utf-8"))
-    nibs = ex.select(
-        "doc_id",
-        *[
-            F.conv(F.substring(h, i + 1, 1), 16, 10).cast("int").alias(f"n{i}")
-            for i in range(16)
-        ],
-    )
-    aggs = []
-    for b in range(64):
-        bit = F.floor(F.col(f"n{b // 4}") / (2 ** (3 - b % 4))) % 2
-        aggs.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s{b}"))
-    sig = nibs.groupBy("doc_id").agg(*aggs)
-    bits = [
-        F.when(F.col(f"s{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
-        for b in range(64)
-    ]
-    return sig.select("doc_id", F.concat(*bits).alias("simhash"))
+    sum>0. Emitted as a 64-char bitstring. md5 is the cross-engine-
+    stable hash (the SQL oracle computes the identical construction
+    relationally via hex-nibble decode).
+
+    Computed in one Arrow kernel: per doc, unpack each shingle md5's
+    first 8 bytes with np.unpackbits (MSB-first per byte = the hex-
+    nibble bit order) and sign-sum as a single matrix reduction. This
+    replaces a 64-sum-aggregation groupBy over exploded shingle rows —
+    same output, no explode shuffle, ~10x cheaper: signature cost rides
+    the scan, exactly like extract.rolling_fingerprint in the crawl
+    kernel."""
+    import hashlib
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batch_iter):
+        for pdf in batch_iter:
+            ids, sigs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = re.split(r"\s+", (text or "").lower())
+                if len(toks) < 3:
+                    continue  # relational form drops size(sh)=0 docs too
+                shingles = set(
+                    " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+                )
+                digs = np.frombuffer(
+                    b"".join(
+                        hashlib.md5(s.encode("utf-8")).digest()[:8]
+                        for s in shingles
+                    ),
+                    dtype=np.uint8,
+                ).reshape(-1, 8)
+                bits = np.unpackbits(digs, axis=1).astype(np.int32)  # (n_sh, 64)
+                sums = 2 * bits.sum(axis=0) - len(shingles)  # sum of +/-1
+                sigs.append("".join("1" if v > 0 else "0" for v in sums))
+                ids.append(doc_id)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "simhash": pd.Series(sigs, dtype="object"),
+                }
+            )
+
+    return _spread(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ).mapInPandas(kernel, schema="doc_id long, simhash string")
 
 
 def _sql_simhash() -> str:
@@ -1076,15 +1170,22 @@ def q_simhash_near_dup(spark, sf_dir):
     pair space to hash-collision buckets — the standard simhash dedup
     shape at corpus scale."""
     sig = q_simhash(spark, sf_dir)
-    bands = None
-    for b in range(4):
-        part = sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.substring("simhash", b * 16 + 1, 16).alias("key"),
-            "simhash",
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # one explode per evaluation (see q_minhash_lsh_candidates)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring("simhash", b * 16 + 1, 16).alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key", "simhash")
     a = bands.alias("a")
     c = bands.alias("b")
     pairs = (
