@@ -132,6 +132,19 @@ HOST_STATE = T.StructType(
     ]
 )
 
+# Signed webhook payloads (reference call_to_webhook.py:75-170): two
+# rows per classified article — the embedding webhook body and the
+# thread-events body — each HMAC-SHA256-signed over its compact JSON.
+WEBHOOK_PAYLOADS = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),  # embedding | thread_events
+        T.StructField("payload", T.StringType(), False),  # compact JSON
+        T.StructField("signature", T.StringType(), False),  # hex HMAC-SHA256
+        T.StructField("wave_id", T.StringType(), False),
+    ]
+)
+
 ROBOTS = T.StructType(
     [
         T.StructField("host", T.StringType(), False),

@@ -32,7 +32,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import extract as ex
-from . import canonicalize, politeness, priority, seenset, synth
+from . import canonicalize, politeness, priority, seenset, synth, webhook
 from .reference_oracle import wave_id_for
 from .schema import ARTICLES, BLOOM_SHARDS, FRONTIER, SEEN, WAVE_METRICS
 from .storage import ManifestParquetCatalog
@@ -63,6 +63,7 @@ def run_wave(
     budget: int | None = None,
     robots: DataFrame | None = None,
     use_bloom: bool = True,
+    webhook_key: bytes | None = None,
 ) -> dict:
     wid = wave_id_for(wave_index)
     _timing = bool(os.environ.get("NEWSCRAWL_TIMING"))
@@ -261,7 +262,7 @@ def run_wave(
         # at 100 TB scale replace the constant with a rows/target-file-size
         # estimate from the manifest stats.
         n_out = max(2, spark.sparkContext.defaultParallelism // 4)
-        with ThreadPoolExecutor(max_workers=6) as pool:
+        with ThreadPoolExecutor(max_workers=7) as pool:
             f_frontier = pool.submit(
                 commit.write, "frontier", new_frontier.coalesce(n_out), "overwrite"
             )
@@ -271,6 +272,19 @@ def run_wave(
             )
             f_stats = pool.submit(compute_stats)
             f_dims = pool.submit(compute_dims)
+            f_webhook = (
+                pool.submit(
+                    commit.write,
+                    "webhook_payloads",
+                    webhook.signed_payloads(
+                        articles_en.select(*[f.name for f in ARTICLES.fields]),
+                        webhook_key,
+                    ).coalesce(n_out),
+                    "append",
+                )
+                if webhook_key is not None
+                else None
+            )
             f_bloom = (
                 pool.submit(
                     lambda: seenset.build_bloom_rows(seen_delta).collect()
@@ -283,6 +297,8 @@ def run_wave(
             f_articles.result()
             stat_rows = f_stats.result()
             dim_rows = f_dims.result()
+            if f_webhook is not None:
+                f_webhook.result()
             bloom_delta_rows = f_bloom.result() if f_bloom is not None else None
         tick("parallel writes+stats")
 
@@ -366,6 +382,7 @@ def run_crawl(
     budget: int | None = None,
     robots: DataFrame | None = None,
     use_bloom: bool = True,
+    webhook_key: bytes | None = None,
 ) -> list[dict]:
     """Run (or resume) a crawl. Already-committed waves are skipped —
     replaying is a no-op, which is the resume/idempotence guarantee."""
@@ -386,6 +403,7 @@ def run_crawl(
                 budget=budget,
                 robots=robots,
                 use_bloom=use_bloom,
+                webhook_key=webhook_key,
             )
         )
     return out

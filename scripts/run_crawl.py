@@ -27,6 +27,11 @@ def main() -> None:
     ap.add_argument("--waves", type=int, default=3)
     ap.add_argument("--budget", type=int, default=None, help="per-host per-wave fetch budget")
     ap.add_argument("--no-bloom", action="store_true")
+    ap.add_argument(
+        "--webhook-key",
+        default=None,
+        help="HMAC key; when set, each wave commits a signed webhook_payloads table",
+    )
     ap.add_argument("--synth-seed", type=int, default=8, help="synthetic seeds per section (when no --pages)")
     ap.add_argument("--synth-total", type=int, default=240, help="synthetic universe per section")
     args = ap.parse_args()
@@ -61,6 +66,7 @@ def main() -> None:
         pages=pages,
         budget=args.budget,
         use_bloom=not args.no_bloom,
+        webhook_key=args.webhook_key.encode("utf-8") if args.webhook_key else None,
     )
     for m in metrics:
         print(json.dumps(m))
