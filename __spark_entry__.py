@@ -42,14 +42,19 @@ def entry(spark: SparkSession) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.avg(F.length("text")), 2).alias("avg_chars"),
     )
-    total = W.partitionBy()
-    return agg.select(
-        "source",
-        "lang",
-        "n",
-        "avg_chars",
-        F.round(F.lit(100.0) * F.col("n") / F.sum("n").over(total), 2).alias("pct"),
-    ).orderBy("source", "lang")
+    # total via broadcast 1-row aggregate, not an unpartitioned Window
+    total = agg.groupBy().agg(F.sum("n").alias("_total"))
+    return (
+        agg.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "lang",
+            "n",
+            "avg_chars",
+            F.round(F.lit(100.0) * F.col("n") / F.col("_total"), 2).alias("pct"),
+        )
+        .orderBy("source", "lang")
+    )
 
 
 def _crawl_wave_articles(spark: SparkSession, sf_dir: str) -> DataFrame:

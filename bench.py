@@ -65,8 +65,13 @@ BENCH_QUERIES = [
     "knn_ivf",
     "embedding_near_dup",
     "simhash",
+    "simhash_near_dup",
     "lang_id_stopword",
     "quality_score",
+    "topic_classify",
+    "topic_distribution",
+    "summary_gate",
+    "article_entities",
 ]
 
 
@@ -183,6 +188,50 @@ def bench_extract_stage(spark, scale: int) -> dict:
     return {"urls": n, "sec": round(sec, 3), "urls_per_sec": round(n / sec, 1)}
 
 
+def load_prev_bench() -> tuple[str, dict] | None:
+    """Latest driver-recorded BENCH_r{N}.json (highest N) next to this
+    file, unwrapped to its parsed payload — the round-over-round
+    comparison base."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    files = glob.glob(os.path.join(here, "BENCH_r*.json"))
+    if not files:
+        return None
+    latest = max(
+        files, key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1))
+    )
+    try:
+        with open(latest) as f:
+            data = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+    parsed = data.get("parsed", data)
+    return os.path.basename(latest), parsed if isinstance(parsed, dict) else None
+
+
+def delta_vs_prev(crawl: dict, qs: dict) -> dict | None:
+    """Per-query wall-time deltas (sec, negative = faster) and crawl
+    throughput ratio vs the previous round's bench — regressions surface
+    automatically in every BENCH_r{N}.json."""
+    prev = load_prev_bench()
+    if not prev or prev[1] is None:
+        return None
+    name, parsed = prev
+    out = {"vs": name, "queries_sec": {}}
+    prev_q = parsed.get("queries") or {}
+    for k, v in qs.items():
+        if k in prev_q:
+            out["queries_sec"][k] = round(v - prev_q[k], 3)
+    prev_rate = (parsed.get("crawl") or {}).get("urls_per_sec")
+    if prev_rate and crawl.get("urls_per_sec"):
+        out["crawl_urls_per_sec_ratio"] = round(
+            crawl["urls_per_sec"] / prev_rate, 3
+        )
+    return out
+
+
 def bench_queries(spark, sf_dir: str) -> dict:
     from newscrawl.queries import QUERIES
 
@@ -217,7 +266,7 @@ def run_once(
         qs = {} if crawl_only else bench_queries(spark, sf_dir)
         total = round(crawl["sec"] + sum(qs.values()), 3)
         sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-        return {
+        res = {
             "metric": "crawl_plus_queries_total_sec",
             "value": total,
             "unit": "sec",
@@ -226,6 +275,11 @@ def run_once(
             "crawl": crawl,
             "cpus": cpus,
         }
+        if not crawl_only:
+            delta = delta_vs_prev(crawl, qs)
+            if delta:
+                res["delta_vs_prev"] = delta
+        return res
     finally:
         spark.stop()
 

@@ -295,70 +295,66 @@ def summarize(text: str) -> str:
     return " ".join(text.split()[:SUMMARY_TOKENS])
 
 
-def classify_topic(text: str) -> str:
-    """Lexicon-hit argmax over the 12 candidate topics; ties (including
-    the zero-hit case) resolve to the earliest candidate label."""
+def enrich_article(
+    text: str,
+) -> tuple[str, str, str, float, list[str], list[str], list[str]]:
+    """The classify stage's scalar kernel, fused into ONE tokenization
+    pass: (summary, topic, sentiment_label, sentiment_score, locations,
+    organizations, persons). This single function backs the Spark
+    kernel AND the reference oracle, so enrichment agrees by
+    construction; the component accessors below are thin views for
+    callers that want one dimension.
+
+    - topic: lexicon-hit argmax over CANDIDATE_TOPICS; ties (incl. zero
+      hits) resolve to the earliest candidate (zero-shot labels[0]).
+    - sentiment: POSITIVE iff pos-hits >= neg-hits (SST-2 label set);
+      score is a confidence in [0.5, 1] like the pipeline's softmax.
+    - entities: bucketed lists with first-occurrence order-preserving
+      dedup (the reference dedupes GenAI entity lists the same way,
+      call_to_genai.py:44-73).
+    """
     scores = [0] * len(CANDIDATE_TOPICS)
+    pos = neg = 0
+    buckets: dict[str, list[str]] = {"loc": [], "org": [], "per": []}
+    seen: set[str] = set()
     for t in (text or "").lower().split():
         i = TOPIC_LEXICON.get(t)
         if i is not None:
             scores[i] += 1
-    return CANDIDATE_TOPICS[scores.index(max(scores))]
-
-
-def classify_sentiment(text: str) -> tuple[str, float]:
-    """Signed-lexicon sentiment: label POSITIVE iff pos-hits >= neg-hits
-    (SST-2 label set); score is a confidence in [0.5, 1] like the
-    pipeline's softmax score."""
-    toks = (text or "").lower().split()
-    pos = sum(1 for t in toks if t in POS_WORDS)
-    neg = sum(1 for t in toks if t in NEG_WORDS)
-    label = "POSITIVE" if pos >= neg else "NEGATIVE"
-    score = round(0.5 + 0.5 * abs(pos - neg) / max(pos + neg, 1), 4)
-    return label, score
-
-
-def extract_entities(text: str) -> tuple[list[str], list[str], list[str]]:
-    """Bucketed entity lists (locations/organizations/persons) with
-    first-occurrence order-preserving dedup (the reference dedupes GenAI
-    entity lists the same way, call_to_genai.py:44-73)."""
-    buckets: dict[str, list[str]] = {"loc": [], "org": [], "per": []}
-    seen: set[str] = set()
-    for t in (text or "").lower().split():
+        if t in POS_WORDS:
+            pos += 1
+        elif t in NEG_WORDS:
+            neg += 1
         b = ENTITY_LEXICON.get(t)
         if b is not None and t not in seen:
             seen.add(t)
             buckets[b].append(t)
-    return buckets["loc"], buckets["org"], buckets["per"]
+    topic = CANDIDATE_TOPICS[scores.index(max(scores))]
+    label = "POSITIVE" if pos >= neg else "NEGATIVE"
+    score = round(0.5 + 0.5 * abs(pos - neg) / max(pos + neg, 1), 4)
+    return (
+        summarize(text),
+        topic,
+        label,
+        score,
+        buckets["loc"],
+        buckets["org"],
+        buckets["per"],
+    )
 
 
-# Output schema appended to the input columns by enrich_articles().
-ENRICH_COLUMNS = (
-    "summary string, topic string, sentiment_label string, "
-    "sentiment_score double, locations array<string>, "
-    "organizations array<string>, persons array<string>"
-)
+def classify_topic(text: str) -> str:
+    return enrich_article(text)[1]
 
 
-def enrich_articles(batch_iter: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
-    """mapInPandas function: the classify stage, applied to ARTICLE rows
-    only (the reference enriches after the skip-title gate,
-    classifier.py:214-247 — never fetch failures or skipped pages).
-    Pure per-row over Arrow batches; shares the scalar functions above
-    with the reference oracle, so enrichment bytes agree by construction."""
-    for pdf in batch_iter:
-        texts = pdf["text"]
-        pdf = pdf.copy()
-        pdf["summary"] = [summarize(t) for t in texts]
-        pdf["topic"] = [classify_topic(t) for t in texts]
-        sent = [classify_sentiment(t) for t in texts]
-        pdf["sentiment_label"] = [s[0] for s in sent]
-        pdf["sentiment_score"] = [s[1] for s in sent]
-        ents = [extract_entities(t) for t in texts]
-        pdf["locations"] = [e[0] for e in ents]
-        pdf["organizations"] = [e[1] for e in ents]
-        pdf["persons"] = [e[2] for e in ents]
-        yield pdf
+def classify_sentiment(text: str) -> tuple[str, float]:
+    e = enrich_article(text)
+    return e[2], e[3]
+
+
+def extract_entities(text: str) -> tuple[list[str], list[str], list[str]]:
+    e = enrich_article(text)
+    return e[4], e[5], e[6]
 
 
 def is_skip_title(title: str | None) -> bool:
@@ -379,17 +375,25 @@ EXTRACT_COLUMNS = (
     "title string, text string, clean_text string, "
     "outlinks array<string>, skip boolean, "
     "n_tokens long, stop_ratio double, lang_pred string, "
-    "quality double, fingerprint string"
+    "quality double, fingerprint string, "
+    "summary string, topic string, sentiment_label string, "
+    "sentiment_score double, locations array<string>, "
+    "organizations array<string>, persons array<string>"
 )
 
 
 def extract_pages(batch_iter: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
-    """mapInPandas function: html binary -> (title, text, outlinks, skip).
+    """mapInPandas function: html binary -> extracted text + analysis +
+    classify-stage enrichment, one Python pass per page.
 
     Pure per-row transformation over Arrow batches — no state, no
     shuffling, safe at any partitioning. The html column is consumed and
     DROPPED on output (it must never flow into persisted wave state —
-    at 100 TB the raw bytes dominate every downstream cost). Use with::
+    at 100 TB the raw bytes dominate every downstream cost). Enrichment
+    (summary/topic/sentiment/entities) is fused in-scan rather than run
+    as a second kernel over the article slice: the extra work on rows
+    that don't become articles (skips, too-short) is far cheaper than a
+    second Arrow round-trip of every article's text. Use with::
 
         df.mapInPandas(extract_pages,
                        schema=<input schema minus html> + EXTRACT_COLUMNS)
@@ -408,4 +412,12 @@ def extract_pages(batch_iter: Iterator["pandas.DataFrame"]) -> Iterator["pandas.
         pdf["lang_pred"] = [a[2] for a in analysis]
         pdf["quality"] = [a[3] for a in analysis]
         pdf["fingerprint"] = [rolling_fingerprint(t) for t in pdf["text"]]
+        enr = [enrich_article(t) for t in pdf["text"]]
+        pdf["summary"] = [e[0] for e in enr]
+        pdf["topic"] = [e[1] for e in enr]
+        pdf["sentiment_label"] = [e[2] for e in enr]
+        pdf["sentiment_score"] = [e[3] for e in enr]
+        pdf["locations"] = [e[4] for e in enr]
+        pdf["organizations"] = [e[5] for e in enr]
+        pdf["persons"] = [e[6] for e in enr]
         yield pdf

@@ -262,14 +262,16 @@ FROM documents
 
 def q_source_distribution(spark, sf_dir):
     """A1/A2: per-key counts + percentage-of-total distribution
-    (reference classifier.py:197-198,295-307)."""
+    (reference classifier.py:197-198,295-307). The total joins back as
+    a broadcast 1-row aggregate — an unpartitioned Window would funnel
+    every group row through one partition."""
     docs = _t(spark, sf_dir, "documents")
     agg = docs.groupBy("source").agg(F.count("*").alias("n"))
-    total = W.partitionBy()
-    return agg.select(
+    total = agg.groupBy().agg(F.sum("n").alias("_total"))
+    return agg.crossJoin(F.broadcast(total)).select(
         "source",
         "n",
-        F.round(F.lit(100.0) * F.col("n") / F.sum("n").over(total), 2).alias("pct"),
+        F.round(F.lit(100.0) * F.col("n") / F.col("_total"), 2).alias("pct"),
     )
 
 

@@ -134,10 +134,17 @@ def run_oracle(cfg: synth.SynthConfig, n_waves: int | None = None) -> OracleResu
             n_tokens, stop_ratio, lang_pred, quality = ex.analyze_text(page.text)
             # classify stage (classifier.py:232-277): summary with the
             # >200-char gate, topic, sentiment, entity buckets, the
-            # per-run sample id (the wave id here), isCleaned=False
-            topic = ex.classify_topic(page.text)
-            sent_label, sent_score = ex.classify_sentiment(page.text)
-            locs, orgs, pers = ex.extract_entities(page.text)
+            # per-run sample id (the wave id here), isCleaned=False —
+            # the SAME fused kernel function the Spark extract UDF runs
+            (
+                summary,
+                topic,
+                sent_label,
+                sent_score,
+                locs,
+                orgs,
+                pers,
+            ) = ex.enrich_article(page.text)
             topic_counter[topic] += 1
             sentiment_counter[sent_label] += 1
             wave.articles.append(
@@ -155,7 +162,7 @@ def run_oracle(cfg: synth.SynthConfig, n_waves: int | None = None) -> OracleResu
                     "lang_pred": lang_pred,
                     "quality": quality,
                     "fingerprint": ex.rolling_fingerprint(page.text),
-                    "summary": ex.summarize(page.text),
+                    "summary": summary,
                     "topic": topic,
                     "sentiment_label": sent_label,
                     "sentiment_score": sent_score,

@@ -129,7 +129,6 @@ def run_wave(
     failed = kept.join(extracted.select("url"), "url", "left_anti").select(
         *FRONTIER_COLS
     )
-    articles_en = None
     try:
         yielded = extracted.filter(F.col("yielded"))
 
@@ -141,12 +140,15 @@ def run_wave(
             F.lit(True).alias("is_processed"),
             F.col(priority.SORT_KEY).alias("sort_key"),
         )
-        # classify stage (reference classifier.py:214-277): enrichment
-        # runs on ARTICLE rows only — after the skip-title gate, never on
-        # fetch failures — as a second Arrow kernel over the (small
-        # relative to pages) article slice. sort_key rides along as _sk
-        # for the distribution tie-breaks and is dropped before commit.
-        articles_base = yielded.filter(~F.col("skip")).select(
+        # classified articles (reference classifier.py:214-277): the
+        # enrichment columns were computed in-scan by the extract kernel;
+        # article rows are the post-skip-gate slice. 'sample' = the
+        # reference's per-run metadata id stamped on every classified
+        # article (classifier.py:192,254) — the wave id is its
+        # deterministic analog; isCleaned inserted False verbatim
+        # (classifier.py:262).
+        classified = yielded.filter(~F.col("skip"))
+        articles = classified.select(
             "url",
             "title",
             "text",
@@ -160,25 +162,16 @@ def run_wave(
             "lang_pred",
             "quality",
             "fingerprint",
-            F.col(priority.SORT_KEY).alias("_sk"),
+            "summary",
+            "topic",
+            "sentiment_label",
+            "sentiment_score",
+            "locations",
+            "organizations",
+            "persons",
+            F.lit(wid).alias("sample"),
+            F.lit(False).alias("is_cleaned"),
         )
-        art_ddl = ", ".join(
-            f"{f.name} {f.dataType.simpleString()}"
-            for f in articles_base.schema.fields
-        )
-        articles_en = (
-            articles_base.mapInPandas(
-                ex.enrich_articles, schema=f"{art_ddl}, {ex.ENRICH_COLUMNS}"
-            )
-            # 'sample' = the reference's per-run metadata id stamped on
-            # every classified article (classifier.py:192,254); the wave
-            # id is its deterministic analog. isCleaned inserted False
-            # verbatim (classifier.py:262).
-            .withColumn("sample", F.lit(wid))
-            .withColumn("is_cleaned", F.lit(False))
-        )
-        articles_en.persist()
-        articles = articles_en.select(*[f.name for f in ARTICLES.fields])
         # carry = fetch failures (anti-join side) + too-short pages +
         # budget-deferred rows; all retried next wave (reference scrapers
         # never insert_link for these, custom_scrapers.py:96-108,376-378)
@@ -227,8 +220,8 @@ def run_wave(
         # order of the first article with that label).
         def compute_dims():
             return (
-                articles_en.select(
-                    "_sk",
+                classified.select(
+                    F.col(priority.SORT_KEY).alias("_sk"),
                     F.explode(
                         F.array(
                             F.struct(
@@ -276,10 +269,7 @@ def run_wave(
                 pool.submit(
                     commit.write,
                     "webhook_payloads",
-                    webhook.signed_payloads(
-                        articles_en.select(*[f.name for f in ARTICLES.fields]),
-                        webhook_key,
-                    ).coalesce(n_out),
+                    webhook.signed_payloads(articles, webhook_key).coalesce(n_out),
                     "append",
                 )
                 if webhook_key is not None
@@ -366,8 +356,6 @@ def run_wave(
         tick("commit")
         return metrics
     finally:
-        if articles_en is not None:
-            articles_en.unpersist()
         extracted.unpersist()
         kept.unpersist()
         cands.unpersist()
