@@ -6,9 +6,13 @@ file:line cited per query) — plus the training-data-pipeline operators
 tables at ``sf_dir``. Aliases match between Spark and SQL exactly
 (the driver hash-compares values after sorting columns by name).
 
-Every query is a pure read: declarative DataFrame plans, JVM-side
-built-ins only (no Python UDFs in any of these), so Catalyst gets full
-pushdown/pruning freedom.
+Every query is a pure read built from declarative DataFrame plans.
+Relational operators use JVM-side built-ins only, so Catalyst gets full
+pushdown/pruning freedom; the dedup-signature and block-GEMM queries
+(simhash, minhash, ngram-jaccard shingles, embedding_near_dup) run
+their per-row math in Arrow-batched pandas kernels (mapInPandas /
+applyInPandas — never row-at-a-time Python UDFs) because hashing and
+matrix math beat expression trees there by ~10x (measured).
 """
 
 from __future__ import annotations
@@ -136,6 +140,44 @@ def q_regex_source_filter(spark, sf_dir):
 
 SQL_REGEX_SOURCE_FILTER = """
 SELECT DISTINCT source FROM documents WHERE regexp_matches(source, '^src1[0-9]$')
+"""
+
+
+def q_photo_credit(spark, sf_dir):
+    """F12: photo-credit detection (reference summarizer.py:110-111,
+    is_photo_credit: r'\\(AP Photo/.*?\\)' case-insensitive) — flag and
+    extract the credit. The synthetic credit is stitched onto every
+    third doc so both branches are exercised."""
+    docs = _t(spark, sf_dir, "documents")
+    probe = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" (AP Photo/Staff "),
+            F.col("doc_id").cast("string"),
+            F.lit(")"),
+        ),
+    ).otherwise(F.col("text"))
+    pat = r"(?i)\(AP Photo/.*?\)"
+    return docs.select(
+        "doc_id",
+        (F.regexp_extract(probe, pat, 0) != "").alias("is_photo_credit"),
+        F.regexp_extract(probe, pat, 0).alias("credit"),
+    )
+
+
+SQL_PHOTO_CREDIT = """
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' (AP Photo/Staff ' || CAST(doc_id AS VARCHAR) || ')'
+              ELSE text END AS probe
+  FROM documents
+)
+SELECT doc_id,
+       regexp_matches(probe, '(?i)\\(AP Photo/.*?\\)') AS is_photo_credit,
+       coalesce(regexp_extract(probe, '(?i)\\(AP Photo/.*?\\)', 0), '') AS credit
+FROM p
 """
 
 
@@ -1598,6 +1640,7 @@ QUERIES = {
     "min_content_filter": (q_min_content_filter, SQL_MIN_CONTENT_FILTER),
     "regex_source_filter": (q_regex_source_filter, SQL_REGEX_SOURCE_FILTER),
     "date_filter": (q_date_filter, SQL_DATE_FILTER),
+    "photo_credit": (q_photo_credit, SQL_PHOTO_CREDIT),
     "url_functions": (q_url_functions, SQL_URL_FUNCTIONS),
     "entity_normalize": (q_entity_normalize, SQL_ENTITY_NORMALIZE),
     "clean_fingerprint": (q_clean_fingerprint, SQL_CLEAN_FINGERPRINT),
