@@ -1368,6 +1368,94 @@ FROM nf
 """
 
 
+def q_token_count_bpe(spark, sf_dir):
+    """Token counting with a BPE-ish pre-tokenizer (GPT-2 pattern family,
+    RE2/Java-compatible subset: letter runs, digit runs, single
+    punctuation marks) alongside the whitespace count — the two token
+    budgets a training-data pipeline tracks per document."""
+    pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return docs.select(
+        "doc_id",
+        ws.cast("long").alias("n_ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(pat)).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+SQL_TOKEN_COUNT_BPE = """
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+            AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_kmeans_step(spark, sf_dir):
+    """One Lloyd iteration over the embeddings (the building block of a
+    distributed k-means for IVF training): assign every vector to its
+    nearest of the K=8 seed centroids (vec_id 1..8, cosine — the same
+    assignment as q_knn_ivf), then recompute each centroid as the
+    per-dimension mean of its bucket. Output exploded (bucket, dim,
+    value) so the oracle compares scalars. Assignment is a broadcast
+    join + argmax; the update is one groupBy — both 100-TB shapes."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = (
+        emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= 8))
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec"))
+    )
+
+    def dot(u, v):
+        return F.aggregate(
+            F.zip_with(u, v, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cos = dot(F.col("embedding"), F.col("cvec")) / (
+        F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(dot(F.col("cvec"), F.col("cvec")))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.round(cos, 6).desc(), F.col("cent_id"))
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "embedding", F.col("cent_id").alias("bucket"))
+    )
+    return (
+        assigned.select(
+            "bucket", F.posexplode("embedding").alias("dim", "val")
+        )
+        .groupBy("bucket", "dim")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 4).alias("centroid"))
+    )
+
+
+SQL_KMEANS_STEP = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), cents AS (
+  SELECT vec_id AS cent_id, v AS cvec FROM e WHERE vec_id BETWEEN 1 AND 8
+), assigned AS (
+  SELECT e.vec_id, e.v, c.cent_id AS bucket
+  FROM e CROSS JOIN cents c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id
+    ORDER BY round(list_dot_product(e.v, c.cvec)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(c.cvec, c.cvec))), 6) DESC,
+             c.cent_id
+  ) = 1
+)
+SELECT bucket, d.dim, round(avg(v[d.dim + 1]), 4) AS centroid
+FROM assigned, (SELECT unnest(range(64)) AS dim) d
+GROUP BY bucket, d.dim
+"""
+
+
 # ---------------------------------------------------------------------------
 # Classify-stage operators (reference classifier.py:232-318): topic +
 # sentiment assignment via the deterministic lexicons shared with the
@@ -1673,4 +1761,6 @@ QUERIES = {
     "sentiment_distribution": (q_sentiment_distribution, SQL_SENTIMENT_DISTRIBUTION),
     "summary_gate": (q_summary_gate, SQL_SUMMARY_GATE),
     "article_entities": (q_article_entities, SQL_ARTICLE_ENTITIES),
+    "token_count_bpe": (q_token_count_bpe, SQL_TOKEN_COUNT_BPE),
+    "kmeans_step": (q_kmeans_step, SQL_KMEANS_STEP),
 }

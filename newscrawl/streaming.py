@@ -129,6 +129,36 @@ def _dedup_fn(key, pdf_iter, state):
         state.update((merged.tobytes(),))
 
 
+def windowed_host_counts(
+    pages_stream: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Event-time windowed per-host page counts with late-data handling
+    — the idiomatic Structured Streaming aggregation the reference's
+    timer-driven batch loop has no analog for. ``warc_ts`` (capture
+    time) is the event time; rows later than the watermark past the
+    window end are dropped and the window's state is reclaimed, so
+    state size is bounded by (hosts x open windows), not stream length.
+    Use with ``outputMode("append")``: a window emits exactly once,
+    when the watermark closes it."""
+    return (
+        pages_stream.withWatermark("warc_ts", watermark)
+        .select(
+            F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host"),
+            "warc_ts",
+        )
+        .groupBy(F.window("warc_ts", window).alias("win"), "host")
+        .agg(F.count("*").alias("n_pages"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "host",
+            "n_pages",
+        )
+    )
+
+
 def stateful_dedup_stream(pages_stream: DataFrame) -> DataFrame:
     """Streaming DataFrame of first-ever occurrences of each url,
     grouped by host so state shards horizontally (each host's seen-set

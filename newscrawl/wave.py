@@ -34,16 +34,36 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from . import extract as ex
 from . import canonicalize, politeness, priority, seenset, synth, webhook
 from .reference_oracle import wave_id_for
-from .schema import ARTICLES, BLOOM_SHARDS, FRONTIER, SEEN, WAVE_METRICS
+from .schema import (
+    ARTICLES,
+    BLOOM_SHARDS,
+    FRONTIER,
+    HOST_STATE,
+    SEEN,
+    WAVE_METRICS,
+)
 from .storage import ManifestParquetCatalog
 
 FRONTIER_COLS = [f.name for f in FRONTIER.fields]
 
 
-def init_crawl(spark: SparkSession, catalog: ManifestParquetCatalog, seeds: DataFrame) -> None:
-    """Commit the seed frontier as snapshot 0 (wave_index=-1)."""
+def init_crawl(
+    spark: SparkSession,
+    catalog: ManifestParquetCatalog,
+    seeds: DataFrame,
+    host_state_seed: DataFrame | None = None,
+) -> None:
+    """Commit the seed frontier as snapshot 0 (wave_index=-1). An
+    optional host_state seed carries per-host budgets / news scores for
+    the scaled scheduler (recency fills in as waves run)."""
     commit = catalog.begin()
     commit.write("frontier", priority.seed_ord(seeds).select(*FRONTIER_COLS), mode="overwrite")
+    if host_state_seed is not None:
+        commit.write(
+            "host_state",
+            host_state_seed.select(*[f.name for f in HOST_STATE.fields]),
+            mode="overwrite",
+        )
     commit.commit(wave_id="init", wave_index=-1)
 
 
@@ -64,7 +84,18 @@ def run_wave(
     robots: DataFrame | None = None,
     use_bloom: bool = True,
     webhook_key: bytes | None = None,
+    scheduler: str = "reference",
 ) -> dict:
+    """One crawl wave. ``scheduler`` picks the candidate ordering:
+
+    - ``"reference"`` (default): the reference's total order
+      (source rank, section rank, ord) — required for fixture parity.
+    - ``"scaled"``: the north-rule priority queue (host budget tier,
+      host idle time, news score, then the reference order as
+      tie-break), driven by the persisted ``host_state`` table whose
+      ``last_fetch_ts`` this wave updates at commit — hosts idle
+      longest crawl first, never-fetched hosts first of all.
+    """
     wid = wave_id_for(wave_index)
     _timing = bool(os.environ.get("NEWSCRAWL_TIMING"))
     _t = time.perf_counter()
@@ -82,7 +113,13 @@ def run_wave(
     # frontier row count is free from the snapshot manifest (lineage stats)
     n_frontier = catalog.table_stats("frontier").get("rows", 0)
 
-    cands = priority.first_wins_dedup(priority.with_sort_key(frontier))
+    if scheduler == "scaled":
+        host_state = catalog.read(spark, "host_state", HOST_STATE)
+        keyed = politeness.scaled_priority_key(frontier, host_state)
+    else:
+        host_state = None
+        keyed = priority.with_sort_key(frontier)
+    cands = priority.first_wins_dedup(keyed)
     # shard/bloom key = hash of the CANONICAL url (equivalent spellings
     # co-locate); membership equality stays exact on the raw url
     cands = cands.withColumn("url_hash", canonicalize.canonical_hash("url"))
@@ -118,9 +155,19 @@ def run_wave(
         for f in fetched.schema.fields
         if f.name != "html"
     )
-    extracted = priority.with_sort_key(
-        fetched.mapInPandas(ex.extract_pages, schema=f"{in_ddl}, {ex.EXTRACT_COLUMNS}")
-    ).withColumn("url_hash", canonicalize.canonical_hash("url")).withColumn(
+    ext_raw = fetched.mapInPandas(
+        ex.extract_pages, schema=f"{in_ddl}, {ex.EXTRACT_COLUMNS}"
+    )
+    # re-key with the SAME scheduler that ordered the candidates (the
+    # broadcast carries only the six frontier columns; the key is a
+    # deterministic projection, so recomputation equals selection)
+    if scheduler == "scaled":
+        ext_keyed = politeness.scaled_priority_key(ext_raw, host_state).drop("host")
+    else:
+        ext_keyed = priority.with_sort_key(ext_raw)
+    extracted = ext_keyed.withColumn(
+        "url_hash", canonicalize.canonical_hash("url")
+    ).withColumn(
         "yielded", F.length(F.coalesce(F.col("text"), F.lit(""))) >= min_text_chars
     )
     extracted.persist()
@@ -255,7 +302,7 @@ def run_wave(
         # at 100 TB scale replace the constant with a rows/target-file-size
         # estimate from the manifest stats.
         n_out = max(2, spark.sparkContext.defaultParallelism // 4)
-        with ThreadPoolExecutor(max_workers=7) as pool:
+        with ThreadPoolExecutor(max_workers=8) as pool:
             f_frontier = pool.submit(
                 commit.write, "frontier", new_frontier.coalesce(n_out), "overwrite"
             )
@@ -275,6 +322,36 @@ def run_wave(
                 if webhook_key is not None
                 else None
             )
+            if scheduler == "scaled":
+                # recency update: hosts fetched this wave get the wave's
+                # logical clock (epoch + wave_index + 1 seconds —
+                # deterministic, monotone). greatest() keeps any newer
+                # caller-seeded timestamp; budgets/scores carry over.
+                fetched_hosts = (
+                    politeness.with_host(yielded.select("url"))
+                    .select("host")
+                    .distinct()
+                    .withColumn(
+                        "_fetched_ts",
+                        F.lit(wave_index + 1).cast("timestamp"),
+                    )
+                )
+                new_state = (
+                    host_state.join(fetched_hosts, "host", "full")
+                    .select(
+                        "host",
+                        "budget",
+                        "news_score",
+                        F.greatest("last_fetch_ts", "_fetched_ts").alias(
+                            "last_fetch_ts"
+                        ),
+                    )
+                )
+                f_hosts = pool.submit(
+                    commit.write, "host_state", new_state.coalesce(n_out), "overwrite"
+                )
+            else:
+                f_hosts = None
             f_bloom = (
                 pool.submit(
                     lambda: seenset.build_bloom_rows(seen_delta).collect()
@@ -289,6 +366,8 @@ def run_wave(
             dim_rows = f_dims.result()
             if f_webhook is not None:
                 f_webhook.result()
+            if f_hosts is not None:
+                f_hosts.result()
             bloom_delta_rows = f_bloom.result() if f_bloom is not None else None
         tick("parallel writes+stats")
 
@@ -371,6 +450,8 @@ def run_crawl(
     robots: DataFrame | None = None,
     use_bloom: bool = True,
     webhook_key: bytes | None = None,
+    scheduler: str = "reference",
+    host_state_seed: DataFrame | None = None,
 ) -> list[dict]:
     """Run (or resume) a crawl. Already-committed waves are skipped —
     replaying is a no-op, which is the resume/idempotence guarantee."""
@@ -378,7 +459,9 @@ def run_crawl(
     if pages is None:
         pages = synth.build_pages_df(spark, cfg)
     if catalog.current_snapshot() is None:
-        init_crawl(spark, catalog, synth.build_seeds_df(spark, cfg))
+        init_crawl(
+            spark, catalog, synth.build_seeds_df(spark, cfg), host_state_seed
+        )
     out = []
     for w in range(catalog.last_wave_index() + 1, n_waves):
         out.append(
@@ -392,6 +475,7 @@ def run_crawl(
                 robots=robots,
                 use_bloom=use_bloom,
                 webhook_key=webhook_key,
+                scheduler=scheduler,
             )
         )
     return out

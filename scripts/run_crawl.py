@@ -32,6 +32,14 @@ def main() -> None:
         default=None,
         help="HMAC key; when set, each wave commits a signed webhook_payloads table",
     )
+    ap.add_argument(
+        "--scheduler",
+        choices=("reference", "scaled"),
+        default="reference",
+        help="candidate ordering: reference parity, or the scaled "
+        "(budget tier, host idle time, news score) priority queue with "
+        "persisted host_state recency",
+    )
     ap.add_argument("--synth-seed", type=int, default=8, help="synthetic seeds per section (when no --pages)")
     ap.add_argument("--synth-total", type=int, default=240, help="synthetic universe per section")
     args = ap.parse_args()
@@ -67,6 +75,7 @@ def main() -> None:
         budget=args.budget,
         use_bloom=not args.no_bloom,
         webhook_key=args.webhook_key.encode("utf-8") if args.webhook_key else None,
+        scheduler=args.scheduler,
     )
     for m in metrics:
         print(json.dumps(m))

@@ -1,0 +1,101 @@
+"""Scaled-scheduler crawl mode (north rule: priority = host budget,
+recency, news score): host_state persists, recency updates per wave as a
+logical wave clock, and idle-longest / never-fetched hosts crawl first."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from newscrawl import synth, wave
+from newscrawl.politeness import with_host
+from newscrawl.schema import HOST_STATE
+from newscrawl.storage import ManifestParquetCatalog
+
+CFG = synth.SynthConfig()
+
+
+@pytest.fixture(scope="module")
+def scaled_crawl(spark, tmp_path_factory):
+    catalog = ManifestParquetCatalog(str(tmp_path_factory.mktemp("scaled")))
+    metrics = wave.run_crawl(spark, catalog, CFG, scheduler="scaled")
+    return catalog, metrics
+
+
+def test_host_state_persists_and_updates(spark, scaled_crawl):
+    catalog, metrics = scaled_crawl
+    assert len(metrics) == CFG.n_waves
+    hs = catalog.read(spark, "host_state", HOST_STATE).collect()
+    assert hs, "host_state table never written"
+    # every host that yielded appears, stamped with a logical wave clock
+    seen_hosts = {
+        r.host
+        for r in with_host(
+            wave.read_seen(spark, catalog).select("url")
+        ).collect()
+    }
+    state_hosts = {r.host for r in hs}
+    assert seen_hosts <= state_hosts
+    # timestamps are the epoch-seconds wave clock: within [1, n_waves]
+    for r in hs:
+        assert r.last_fetch_ts is not None
+        assert 1 <= r.last_fetch_ts.timestamp() <= CFG.n_waves
+
+
+def test_never_fetched_hosts_crawl_first(spark, scaled_crawl):
+    """The hot host is only discoverable from wave-1 outlinks, so at
+    wave 1 it is never-fetched (idle key 0) while every seed host was
+    fetched in wave 0 — with equal budget tiers the scaled order must
+    put all hot-host urls before any already-fetched host's urls."""
+    catalog, _metrics = scaled_crawl
+    seen = wave.read_seen(spark, catalog)
+    w1 = (
+        with_host(seen.filter(F.col("processed_wave") == "w0001"))
+        .orderBy("sort_key")
+        .collect()
+    )
+    assert w1
+    hot = [i for i, r in enumerate(w1) if r.host == synth.HOT_HOST]
+    cold = [i for i, r in enumerate(w1) if r.host != synth.HOT_HOST]
+    assert hot, "hot host never discovered in wave 1"
+    assert max(hot) < min(cold), "never-fetched host did not sort first"
+
+
+def test_scaled_mode_same_coverage_as_reference(spark, scaled_crawl, tmp_path):
+    """Scheduling changes the ORDER, never the SET: with no budgets the
+    scaled crawl must process exactly the reference-mode url set."""
+    catalog, _metrics = scaled_crawl
+    ref_cat = ManifestParquetCatalog(str(tmp_path / "ref"))
+    wave.run_crawl(spark, ref_cat, CFG, scheduler="reference")
+    scaled_urls = {r.url for r in wave.read_seen(spark, catalog).collect()}
+    ref_urls = {r.url for r in wave.read_seen(spark, ref_cat).collect()}
+    assert scaled_urls == ref_urls
+
+
+def test_host_state_seed_budget_tiers(spark, tmp_path):
+    """Caller-seeded budgets put low-budget-tier hosts first regardless
+    of recency (budget is the leading key dimension)."""
+    cfg = synth.SynthConfig(n_seed=2, n_total=8, n_waves=1, hot_links=False)
+    hosts = sorted({r["url"].split("/")[2] for r in synth.seed_rows(cfg)})
+    fast, slow = hosts[-1], hosts[0]  # invert the natural source order
+    seed = spark.createDataFrame(
+        [(fast, 1, None, None), (slow, 900, None, None)],
+        schema=HOST_STATE,
+    )
+    catalog = ManifestParquetCatalog(str(tmp_path / "tiers"))
+    wave.run_crawl(
+        spark, catalog, cfg, scheduler="scaled", host_state_seed=seed
+    )
+    rows = (
+        with_host(wave.read_seen(spark, catalog))
+        .orderBy("sort_key")
+        .collect()
+    )
+    fast_pos = [i for i, r in enumerate(rows) if r.host == fast]
+    slow_pos = [i for i, r in enumerate(rows) if r.host == slow]
+    other_pos = [
+        i for i, r in enumerate(rows) if r.host not in (fast, slow)
+    ]
+    # ascending budget tiers: 001 first, 900 next, unseeded (999) last
+    assert max(fast_pos) < min(slow_pos)
+    assert max(slow_pos) < min(other_pos)

@@ -96,3 +96,78 @@ def test_stateful_dedup_across_batches(spark, tmp_path):
     got = [r.url for r in spark.sql("SELECT url FROM dedup_out").collect()]
     assert len(got) == 8  # 6 unique from b1 + 2 new from b2
     assert len(set(got)) == 8
+
+
+def test_windowed_host_counts_watermark_drops_late(spark, tmp_path):
+    """Event-time windows + watermark: a row arriving after the
+    watermark has passed its window's end is DROPPED (append mode);
+    on-time rows aggregate into exactly-once window emissions."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from newscrawl.schema import PAGES
+
+    src = tmp_path / "pages_in"
+    src.mkdir()
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def page(url, minutes):
+        return (url, base + dt.timedelta(minutes=minutes), b"<html/>", "t", "en")
+
+    # batch 1: two hosts in window [0,10); watermark advances to 60-30=30
+    b1 = [
+        page("https://a.example.com/1", 1),
+        page("https://a.example.com/2", 5),
+        page("https://b.example.com/1", 3),
+        page("https://a.example.com/adv", 60),  # advances the watermark
+    ]
+    # batch 2: on-time row; processing it closes window [0,10) (the
+    # late-event filter lags the eviction watermark by one micro-batch,
+    # so the late row goes in a THIRD batch)
+    b2 = [page("https://b.example.com/ontime", 61)]
+    # batch 3: a LATE row for window [0,10) — event time 2 is far behind
+    # the watermark (>=30) -> dropped, window not re-opened
+    b3 = [page("https://a.example.com/late", 2)]
+    # flat single-file-per-batch layout with explicit mtimes so the file
+    # source forms two ordered micro-batches (maxFilesPerTrigger=1)
+    import glob
+    import os
+    import shutil
+
+    for i, (name, rows) in enumerate((("b1", b1), ("b2", b2), ("b3", b3))):
+        stage = tmp_path / f"stage_{name}"
+        spark.createDataFrame(rows, schema=PAGES).coalesce(1).write.parquet(
+            str(stage)
+        )
+        part = glob.glob(str(stage / "part-*.parquet"))[0]
+        dst = str(src / f"{name}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1000 + i * 100, 1000 + i * 100))
+
+    stream = (
+        spark.readStream.schema(PAGES)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming.windowed_host_counts(stream)
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM win_counts").collect()
+    got: dict = {}
+    for r in rows:
+        got.setdefault((r.window_start.minute, r.host), []).append(r.n_pages)
+    # window [0,10): late row NOT counted (a=2 not 3), b=1; emitted
+    # exactly once each (the dropped late row must not re-open it)
+    assert got.get((0, "a.example.com")) == [2]
+    assert got.get((0, "b.example.com")) == [1]
+    # open windows ([60,70)) have not been closed by a later watermark ->
+    # not emitted yet in append mode
+    assert (60, "b.example.com") not in got
