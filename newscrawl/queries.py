@@ -1368,6 +1368,71 @@ FROM nf
 """
 
 
+def q_knn_label_majority(spark, sf_dir):
+    """kNN label-majority vote (the standard embedding-quality /
+    labeling eval in a training-data pipeline): for each of the first
+    20 query vectors, take the 5 cosine-nearest OTHER vectors and vote
+    on their labels (ties break to the smaller label id). Brute-force
+    pairs pruned by the query-side filter; at corpus scale the
+    neighbor search swaps to the IVF path (q_knn_ivf) unchanged."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+
+    def dot(u, v):
+        return F.aggregate(
+            F.zip_with(u, v, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cos = dot(F.col("embedding"), F.col("qv")) / (
+        F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(dot(F.col("qv"), F.col("qv")))
+    )
+    w = W.partitionBy("qid").orderBy(F.round(cos, 6).desc(), F.col("vec_id"))
+    neighbors = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+    )
+    wv = W.partitionBy("qid").orderBy(F.col("n").desc(), F.col("label"))
+    return (
+        neighbors.groupBy("qid", "label")
+        .agg(F.count("*").alias("n"))
+        .withColumn("r", F.row_number().over(wv))
+        .filter(F.col("r") == 1)
+        .select("qid", F.col("label").alias("pred_label"), F.col("n").alias("votes"))
+    )
+
+
+SQL_KNN_LABEL_MAJORITY = """
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20
+), nn AS (
+  SELECT q.qid, e.vec_id, e.label
+  FROM e CROSS JOIN q
+  WHERE e.vec_id <> q.qid
+  QUALIFY row_number() OVER (
+    PARTITION BY q.qid
+    ORDER BY round(list_dot_product(e.v, q.qv)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
+             e.vec_id
+  ) <= 5
+)
+SELECT qid, label AS pred_label, count(*) AS votes
+FROM nn
+GROUP BY qid, label
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY count(*) DESC, label) = 1
+"""
+
+
 def q_token_count_bpe(spark, sf_dir):
     """Token counting with a BPE-ish pre-tokenizer (GPT-2 pattern family,
     RE2/Java-compatible subset: letter runs, digit runs, single
@@ -1763,4 +1828,5 @@ QUERIES = {
     "article_entities": (q_article_entities, SQL_ARTICLE_ENTITIES),
     "token_count_bpe": (q_token_count_bpe, SQL_TOKEN_COUNT_BPE),
     "kmeans_step": (q_kmeans_step, SQL_KMEANS_STEP),
+    "knn_label_majority": (q_knn_label_majority, SQL_KNN_LABEL_MAJORITY),
 }
