@@ -32,7 +32,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import extract as ex
-from . import canonicalize, politeness, priority, seenset, synth, webhook
+from . import bucketing, canonicalize, politeness, priority, seenset, synth, webhook
 from .reference_oracle import wave_id_for
 from .schema import (
     ARTICLES,
@@ -85,6 +85,8 @@ def run_wave(
     use_bloom: bool = True,
     webhook_key: bytes | None = None,
     scheduler: str = "reference",
+    pages_table: str | None = None,
+    fetch_buckets: int = 32,
 ) -> dict:
     """One crawl wave. ``scheduler`` picks the candidate ordering:
 
@@ -95,6 +97,15 @@ def run_wave(
       tie-break), driven by the persisted ``host_state`` table whose
       ``last_fetch_ts`` this wave updates at commit — hosts idle
       longest crawl first, never-fetched hosts first of all.
+
+    ``pages_table`` switches the fetch join's physical strategy: when
+    set (the name of a url-bucketed pages table, see
+    ``bucketing.write_bucketed`` — ``fetch_buckets`` must match its
+    spec), the wave's candidates are written bucketed on url and the
+    fetch becomes a co-located sort-merge join with NO Exchange on the
+    pages side — the 10^10-frontier path where the candidate set is too
+    large to broadcast and html bytes still never move. Default (None):
+    broadcast the slim candidate metadata into the pages scan.
     """
     wid = wave_id_for(wave_index)
     _timing = bool(os.environ.get("NEWSCRAWL_TIMING"))
@@ -147,9 +158,29 @@ def run_wave(
     # broadcast only the six frontier columns; sort_key and url_hash are
     # deterministic projections, recomputed JVM-side after extraction —
     # ~25% less broadcast payload per wave
-    fetched = pages.select("url", "warc_ts", "html").join(
-        F.broadcast(kept.select(*FRONTIER_COLS)), "url", "inner"
-    )
+    cand_table = None
+    if pages_table is not None:
+        # bucketed co-located path: shuffle ONLY the slim candidates
+        # (one bucketed write per wave); the sort-merge join against the
+        # identically-bucketed pages table plans zero Exchange on the
+        # pages side, so html never moves even at frontier sizes far
+        # beyond any broadcast threshold
+        import hashlib as _hl
+
+        cand_table = (
+            "newscrawl_cand_"
+            + _hl.md5(catalog.root.encode("utf-8")).hexdigest()[:10]
+        )
+        bucketing.write_bucketed(
+            kept.select(*FRONTIER_COLS), cand_table, fetch_buckets
+        )
+        fetched = spark.table(pages_table).select("url", "warc_ts", "html").join(
+            spark.table(cand_table), "url", "inner"
+        )
+    else:
+        fetched = pages.select("url", "warc_ts", "html").join(
+            F.broadcast(kept.select(*FRONTIER_COLS)), "url", "inner"
+        )
     in_ddl = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in fetched.schema.fields
@@ -438,6 +469,8 @@ def run_wave(
         extracted.unpersist()
         kept.unpersist()
         cands.unpersist()
+        if cand_table is not None:
+            spark.sql(f"DROP TABLE IF EXISTS {cand_table}")
 
 
 def run_crawl(
@@ -452,11 +485,13 @@ def run_crawl(
     webhook_key: bytes | None = None,
     scheduler: str = "reference",
     host_state_seed: DataFrame | None = None,
+    pages_table: str | None = None,
+    fetch_buckets: int = 32,
 ) -> list[dict]:
     """Run (or resume) a crawl. Already-committed waves are skipped —
     replaying is a no-op, which is the resume/idempotence guarantee."""
     n_waves = n_waves if n_waves is not None else cfg.n_waves
-    if pages is None:
+    if pages is None and pages_table is None:
         pages = synth.build_pages_df(spark, cfg)
     if catalog.current_snapshot() is None:
         init_crawl(
@@ -476,6 +511,8 @@ def run_crawl(
                 use_bloom=use_bloom,
                 webhook_key=webhook_key,
                 scheduler=scheduler,
+                pages_table=pages_table,
+                fetch_buckets=fetch_buckets,
             )
         )
     return out

@@ -112,3 +112,33 @@ def test_embedding_near_dup_never_materializes_on_driver(spark, monkeypatch):
     monkeypatch.setattr(DataFrame, "collect", boom)
     df = q_embedding_near_dup(spark, "/root/testdata/sf0.01")
     assert df.count() > 0  # count() is the driver's one legal aggregate
+
+
+def test_bucketed_wave_equals_broadcast_wave(spark, tmp_path):
+    """The 10^10-frontier fetch strategy (co-located bucketed sort-merge,
+    pages_table=...) must produce the exact crawl the broadcast strategy
+    produces — same order, same articles — while planning no Exchange on
+    the pages side."""
+    from newscrawl import wave
+    from newscrawl.bucketing import write_bucketed
+    from newscrawl.storage import ManifestParquetCatalog
+
+    cfg = synth.SynthConfig(n_seed=2, n_total=10, n_waves=2)
+    pages = synth.build_pages_df(spark, cfg)
+    write_bucketed(pages, "t_pages_bucketed", 8)
+
+    cat_b = ManifestParquetCatalog(str(tmp_path / "broadcast"))
+    wave.run_crawl(spark, cat_b, cfg, pages=pages)
+    cat_k = ManifestParquetCatalog(str(tmp_path / "bucketed"))
+    wave.run_crawl(
+        spark, cat_k, cfg, pages_table="t_pages_bucketed", fetch_buckets=8
+    )
+
+    assert wave.crawl_order(spark, cat_b) == wave.crawl_order(spark, cat_k)
+    key = lambda r: (r.url, r.wave_id, r.fingerprint, r.topic)
+    got_b = sorted(map(key, wave.read_articles(spark, cat_b).collect()))
+    got_k = sorted(map(key, wave.read_articles(spark, cat_k).collect()))
+    assert got_b == got_k
+    # (the zero-Exchange plan shape of the co-located join itself is
+    # asserted by test_bucketed_fetch_join_has_no_exchange above)
+    spark.sql("DROP TABLE IF EXISTS t_pages_bucketed")
