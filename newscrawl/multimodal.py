@@ -90,6 +90,30 @@ def media_features(media: DataFrame) -> DataFrame:
     )
 
 
+def resize_specs(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize plumbing: compute each image's target dimensions
+    (aspect-preserving, longest side clamped to ``max_side``, never
+    upscaled) from the decoded/fallback width/height — all JVM-side.
+    The actual pixel resample belongs in the stubbed decode kernel;
+    this is the planning half a real pipeline runs first so it can
+    skip no-op resizes and size its output buffers."""
+    feats = media_features(media)
+    w, h = F.col("width"), F.col("height")
+    longest = F.greatest(w, h)
+    scale = F.when(longest > max_side, F.lit(max_side) / longest).otherwise(
+        F.lit(1.0)
+    )
+    return feats.select(
+        "media_id",
+        "media_type",
+        "width",
+        "height",
+        F.floor(w * scale).cast("int").alias("target_width"),
+        F.floor(h * scale).cast("int").alias("target_height"),
+        (scale < 1.0).alias("needs_resize"),
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling plumbing: emit one row per sampled frame
     index (real frame decode is the stubbed kernel). Shows the

@@ -1368,6 +1368,29 @@ FROM nf
 """
 
 
+def q_frame_sample(spark, sf_dir):
+    """Multimodal frame-sampling plumbing, oracle-checked
+    (newscrawl/multimodal.frame_sample_plan semantics): treat the utf-8
+    text payload as an opaque binary, derive a deterministic frame
+    count from its byte length (1 frame per 64 bytes), and explode
+    every ``step``-th frame index — the row shape a video frame sampler
+    hands to the (stubbed) decode kernel."""
+    step = 2
+    docs = _t(spark, sf_dir, "documents")
+    n_bytes = F.length(F.encode(F.col("text"), "utf-8"))
+    n_frames = F.floor(n_bytes / 64).cast("int") + 1
+    idx = F.sequence(F.lit(0), n_frames - 1, F.lit(step))
+    return docs.select("doc_id", F.explode(idx).alias("frame_idx"))
+
+
+SQL_FRAME_SAMPLE = """
+SELECT doc_id,
+       unnest(range(0, CAST(floor(octet_length(encode(text)) / 64) AS INT) + 1, 2))
+         AS frame_idx
+FROM documents
+"""
+
+
 def q_knn_label_majority(spark, sf_dir):
     """kNN label-majority vote (the standard embedding-quality /
     labeling eval in a training-data pipeline): for each of the first
@@ -1829,4 +1852,5 @@ QUERIES = {
     "token_count_bpe": (q_token_count_bpe, SQL_TOKEN_COUNT_BPE),
     "kmeans_step": (q_kmeans_step, SQL_KMEANS_STEP),
     "knn_label_majority": (q_knn_label_majority, SQL_KNN_LABEL_MAJORITY),
+    "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
 }

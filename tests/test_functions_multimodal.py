@@ -98,3 +98,22 @@ def test_frame_sample_plan(spark, media_df):
     # 1300 bytes -> 2 frames at every_n=1
     assert by_id[1] == [0, 1]
     assert by_id[3] == [0]
+
+
+def test_resize_specs(spark, media_df):
+    out = {r.media_id: r for r in mm.resize_specs(media_df, max_side=128).collect()}
+    for r in out.values():
+        if r.media_id == 3:
+            continue  # null payload -> 0x0 pseudo image, no resize
+        longest = max(r.width, r.height)
+        t_longest = max(r.target_width, r.target_height)
+        if longest > 128:
+            assert r.needs_resize and t_longest <= 128
+            # aspect preserved within integer flooring
+            assert abs(
+                r.width / r.height - r.target_width / max(r.target_height, 1)
+            ) < 0.1
+        else:
+            assert not r.needs_resize
+            assert (r.target_width, r.target_height) == (r.width, r.height)
+    assert out[3].target_width == 0 and not out[3].needs_resize
