@@ -52,16 +52,59 @@ class ManifestParquetCatalog:
         snap = self.current_snapshot()
         return -1 if snap is None else snap.get("wave_index", -1)
 
+    def snapshot(self, snapshot_id: int) -> dict:
+        """Load a historical snapshot by id (they are immutable JSON —
+        this is the Iceberg snapshot-log equivalent)."""
+        p = os.path.join(self.root, "snapshots", f"{snapshot_id:08d}.json")
+        with open(p) as f:
+            return json.load(f)
+
+    def snapshot_ids(self) -> list[int]:
+        d = os.path.join(self.root, "snapshots")
+        return sorted(
+            int(fn[:-5]) for fn in os.listdir(d) if fn.endswith(".json")
+        )
+
+    def rollback(self, snapshot_id: int) -> dict:
+        """Point the catalog back at an earlier snapshot (Iceberg
+        rollback semantics): later snapshots' data files become orphans,
+        state is exactly the chosen snapshot's, and the next wave
+        resumes from ITS wave index. Atomic (same pointer swap as
+        commit)."""
+        snap = self.snapshot(snapshot_id)  # raises if unknown
+        snap_path = os.path.join(
+            self.root, "snapshots", f"{snapshot_id:08d}.json"
+        )
+        tmp = self._pointer_path() + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"snapshot_path": snap_path, "snapshot_id": snapshot_id}, f)
+        os.replace(tmp, self._pointer_path())
+        return snap
+
     # -- reads -------------------------------------------------------------
-    def table_files(self, table: str) -> list[str]:
-        snap = self.current_snapshot()
+    def table_files(self, table: str, snapshot_id: int | None = None) -> list[str]:
+        snap = (
+            self.current_snapshot()
+            if snapshot_id is None
+            else self.snapshot(snapshot_id)
+        )
         if snap is None:
             return []
         files = snap["tables"].get(table, {}).get("files", [])
         return [f["path"] for f in files]
 
-    def read(self, spark: SparkSession, table: str, schema: T.StructType) -> DataFrame:
-        files = self.table_files(table)
+    def read(
+        self,
+        spark: SparkSession,
+        table: str,
+        schema: T.StructType,
+        snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Read a table's live file set — at the current snapshot, or
+        time-travel to any historical ``snapshot_id`` (data files are
+        immutable and manifests keep every version's file list, so old
+        versions stay byte-exact until explicitly expired)."""
+        files = self.table_files(table, snapshot_id)
         if not files:
             return spark.createDataFrame([], schema=schema)
         return spark.read.schema(schema).parquet(*files)

@@ -84,3 +84,57 @@ def test_oracle_parity_after_resume(spark, tmp_path):
     assert wave.crawl_order(spark, cat) == [
         (w.wave_id, u) for w in oracle.waves for u in w.crawl_order
     ]
+
+
+def test_time_travel_read(spark, tmp_path):
+    """Reading at a historical snapshot returns exactly that wave's
+    state (data files immutable, manifests keep every version)."""
+    cat = ManifestParquetCatalog(str(tmp_path / "tt"))
+    wave.run_crawl(spark, cat, CFG, n_waves=3)
+    ids = cat.snapshot_ids()
+    assert len(ids) == 4  # init + 3 waves
+    # per-snapshot article sets grow monotonically and match wave ids
+    prev: set = set()
+    for sid in ids:
+        snap = cat.snapshot(sid)
+        arts = {
+            (r.url, r.wave_id)
+            for r in cat.read(
+                spark, "articles", wave.ARTICLES, snapshot_id=sid
+            ).collect()
+        }
+        assert prev <= arts
+        max_wave = max((w for _u, w in arts), default="w0000")
+        assert max_wave <= wave.wave_id_for(max(snap["wave_index"], 0))
+        prev = arts
+    # the wave-1 snapshot must contain NO wave-2 articles
+    mid = cat.snapshot(ids[-2])
+    mid_arts = cat.read(spark, "articles", wave.ARTICLES, snapshot_id=ids[-2])
+    assert mid_arts.filter(mid_arts.wave_id == "w0002").count() == 0
+
+
+def test_rollback_then_rerun_is_identical(spark, tmp_path):
+    """Iceberg rollback semantics: roll back to the post-wave-0 snapshot,
+    re-run the remaining waves, and land byte-identically where the
+    original run did (determinism + snapshot isolation)."""
+    cat = ManifestParquetCatalog(str(tmp_path / "rb"))
+    wave.run_crawl(spark, cat, CFG, n_waves=3)
+    want_order = wave.crawl_order(spark, cat)
+    want_arts = sorted(
+        (r.url, r.wave_id, r.fingerprint, r.topic)
+        for r in wave.read_articles(spark, cat).collect()
+    )
+    post_w0 = cat.snapshot_ids()[1]  # init is [0], wave 0 is [1]
+    snap = cat.rollback(post_w0)
+    assert snap["wave_index"] == 0
+    assert cat.last_wave_index() == 0
+    # state is exactly wave-0's
+    assert wave.read_articles(spark, cat).filter("wave_id > 'w0000'").count() == 0
+    # resume re-runs waves 1..2 deterministically
+    wave.run_crawl(spark, cat, CFG, n_waves=3)
+    assert wave.crawl_order(spark, cat) == want_order
+    got_arts = sorted(
+        (r.url, r.wave_id, r.fingerprint, r.topic)
+        for r in wave.read_articles(spark, cat).collect()
+    )
+    assert got_arts == want_arts
