@@ -42,19 +42,18 @@ def entry(spark: SparkSession) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.avg(F.length("text")), 2).alias("avg_chars"),
     )
-    # total via broadcast 1-row aggregate, not an unpartitioned Window
-    total = agg.groupBy().agg(F.sum("n").alias("_total"))
-    return (
-        agg.crossJoin(F.broadcast(total))
-        .select(
-            "source",
-            "lang",
-            "n",
-            "avg_chars",
-            F.round(F.lit(100.0) * F.col("n") / F.col("_total"), 2).alias("pct"),
-        )
-        .orderBy("source", "lang")
-    )
+    # total as a Window over the post-agg rows (bounded at group
+    # cardinality): ONE corpus scan — a crossJoin against a
+    # re-aggregated total would re-scan (branches don't share subplans)
+    return agg.select(
+        "source",
+        "lang",
+        "n",
+        "avg_chars",
+        F.round(
+            F.lit(100.0) * F.col("n") / F.sum("n").over(W.partitionBy()), 2
+        ).alias("pct"),
+    ).orderBy("source", "lang")
 
 
 def _crawl_wave_articles(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -304,16 +304,20 @@ FROM documents
 
 def q_source_distribution(spark, sf_dir):
     """A1/A2: per-key counts + percentage-of-total distribution
-    (reference classifier.py:197-198,295-307). The total joins back as
-    a broadcast 1-row aggregate — an unpartitioned Window would funnel
-    every group row through one partition."""
+    (reference classifier.py:197-198,295-307). The total is an
+    unpartitioned Window over the POST-AGGREGATION rows — bounded at
+    group cardinality, so the single partition is a handful of rows.
+    (A crossJoin against a re-aggregated total looks cleaner but
+    DataFrame branches don't share subplans: it re-SCANS the corpus, a
+    2x scan cost at 100 TB. Verified via explain: the crossJoin form
+    plans 2 parquet scans, this form plans 1.)"""
     docs = _t(spark, sf_dir, "documents")
     agg = docs.groupBy("source").agg(F.count("*").alias("n"))
-    total = agg.groupBy().agg(F.sum("n").alias("_total"))
-    return agg.crossJoin(F.broadcast(total)).select(
+    total = W.partitionBy()
+    return agg.select(
         "source",
         "n",
-        F.round(F.lit(100.0) * F.col("n") / F.col("_total"), 2).alias("pct"),
+        F.round(F.lit(100.0) * F.col("n") / F.sum("n").over(total), 2).alias("pct"),
     )
 
 
@@ -1646,24 +1650,23 @@ FROM documents
 def q_topic_distribution(spark, sf_dir):
     """A1/A2 on the reference's actual dimension (classifier.py:295-307):
     per-topic counts, percentage of total classified, and the
-    most_common rank (count desc, first-seen = min doc_id tie-break)."""
+    most_common rank (count desc, first-seen = min doc_id tie-break).
+    Total + rank via Windows over the post-agg rows (<= 12) — single
+    corpus scan; see q_source_distribution for why not crossJoin."""
     docs = _t(spark, sf_dir, "documents")
     agg = (
         docs.select("doc_id", _topic_label_col().alias("label"))
         .groupBy("label")
         .agg(F.count("*").alias("n"), F.min("doc_id").alias("first_doc"))
     )
-    total = agg.groupBy().agg(F.sum("n").alias("_total"))
     w = W.orderBy(F.col("n").desc(), "first_doc")
-    return (
-        agg.crossJoin(F.broadcast(total))
-        .withColumn("rank", F.row_number().over(w))
-        .select(
-            "label",
-            "n",
-            F.round(F.lit(100.0) * F.col("n") / F.col("_total"), 2).alias("pct"),
-            "rank",
-        )
+    return agg.select(
+        "label",
+        "n",
+        F.round(
+            F.lit(100.0) * F.col("n") / F.sum("n").over(W.partitionBy()), 2
+        ).alias("pct"),
+        F.row_number().over(w).alias("rank"),
     )
 
 
@@ -1682,7 +1685,8 @@ FROM agg
 
 def q_sentiment_distribution(spark, sf_dir):
     """Per-label sentiment distribution (classifier.py:309-313) with the
-    same most_common ordering semantics as topic_distribution."""
+    same most_common ordering semantics and single-scan window shape as
+    topic_distribution."""
     docs = _t(spark, sf_dir, "documents")
     label, _score = _sentiment_cols()
     agg = (
@@ -1690,17 +1694,14 @@ def q_sentiment_distribution(spark, sf_dir):
         .groupBy("label")
         .agg(F.count("*").alias("n"), F.min("doc_id").alias("first_doc"))
     )
-    total = agg.groupBy().agg(F.sum("n").alias("_total"))
     w = W.orderBy(F.col("n").desc(), "first_doc")
-    return (
-        agg.crossJoin(F.broadcast(total))
-        .withColumn("rank", F.row_number().over(w))
-        .select(
-            "label",
-            "n",
-            F.round(F.lit(100.0) * F.col("n") / F.col("_total"), 2).alias("pct"),
-            "rank",
-        )
+    return agg.select(
+        "label",
+        "n",
+        F.round(
+            F.lit(100.0) * F.col("n") / F.sum("n").over(W.partitionBy()), 2
+        ).alias("pct"),
+        F.row_number().over(w).alias("rank"),
     )
 
 
