@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "topic_distribution",
     "summary_gate",
     "article_entities",
+    "kmeans_step",
+    "knn_label_majority",
 ]
 
 
