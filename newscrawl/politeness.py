@@ -29,6 +29,71 @@ def with_host(df: DataFrame) -> DataFrame:
     return df.withColumn("host", F.regexp_extract("url", HOST_RE, 1))
 
 
+def parse_robots(body: str | None, agent: str = "newscrawl") -> list[str]:
+    """Minimal deterministic robots.txt parser -> Disallow prefixes.
+
+    Groups are runs of ``User-agent`` lines followed by rules; the
+    best-matching group wins (exact agent match beats ``*``; like the
+    RFC 9309 longest-match rule collapsed to our two cases). Empty
+    ``Disallow:`` means allow-all and contributes nothing. Comments
+    (#...) and unknown directives are ignored. Pure function — the
+    distributed cache builder and tests share it."""
+    if not body:
+        return []
+    groups: list[tuple[list[str], list[str]]] = []  # (agents, disallows)
+    cur_agents: list[str] = []
+    cur_rules: list[str] = []
+    in_agents = True
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not in_agents:
+                groups.append((cur_agents, cur_rules))
+                cur_agents, cur_rules = [], []
+            in_agents = True
+            cur_agents.append(val.lower())
+        elif key == "disallow":
+            in_agents = False
+            if val:
+                cur_rules.append(val)
+        elif key == "allow":
+            in_agents = False  # group boundary tracking only
+    if cur_agents:
+        groups.append((cur_agents, cur_rules))
+    agent = agent.lower()
+    exact = [r for agents, rules in groups if agent in agents for r in rules]
+    if any(agent in agents for agents, _ in groups):
+        return exact
+    return [r for agents, rules in groups if "*" in agents for r in rules]
+
+
+def build_robots_table(bodies: DataFrame, agent: str = "newscrawl") -> DataFrame:
+    """(host, body string) -> ROBOTS(host, disallow array<string>): the
+    distributed robots cache build. Bodies come from fetching each
+    host's /robots.txt (in this engine: rows of the page corpus);
+    parsing runs vectorized in one Arrow kernel. The output is
+    host-cardinality — small enough to broadcast into robots_filter,
+    which is the 'robots.txt caching' of the north rule: fetched once
+    per host per crawl epoch, consulted from the broadcast table for
+    every candidate."""
+    import pandas as pd
+
+    def kernel(batch_iter):
+        for pdf in batch_iter:
+            out = pd.DataFrame({"host": pdf["host"]})
+            out["disallow"] = [parse_robots(b, agent) for b in pdf["body"]]
+            yield out
+
+    return bodies.select("host", "body").mapInPandas(
+        kernel, schema="host string, disallow array<string>"
+    )
+
+
 def robots_filter(candidates: DataFrame, robots: DataFrame | None) -> DataFrame:
     """Drop candidates whose url path starts with a disallowed prefix for
     its host. ``robots(host, disallow array<string>)`` is broadcast (it is

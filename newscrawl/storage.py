@@ -65,6 +65,43 @@ class ManifestParquetCatalog:
             int(fn[:-5]) for fn in os.listdir(d) if fn.endswith(".json")
         )
 
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Iceberg maintenance analog: drop all but the newest
+        ``keep_last`` snapshots (the current one always survives) and
+        delete data files no retained snapshot references. Time-travel
+        history shrinks to the retained window; live reads are
+        untouched. Returns {snapshots_removed, files_removed}."""
+        import shutil
+
+        ids = self.snapshot_ids()
+        cur = self.current_snapshot()
+        if cur is None or len(ids) <= keep_last:
+            return {"snapshots_removed": 0, "files_removed": 0}
+        keep_ids = set(ids[-keep_last:]) | {cur["snapshot_id"]}
+        keep_files: set[str] = set()
+        for sid in keep_ids:
+            snap = self.snapshot(sid)
+            for t in snap["tables"].values():
+                keep_files.update(f["path"] for f in t["files"])
+        n_snaps = n_files = 0
+        for sid in ids:
+            if sid in keep_ids:
+                continue
+            snap = self.snapshot(sid)
+            for t in snap["tables"].values():
+                for f in t["files"]:
+                    if f["path"] not in keep_files and os.path.exists(f["path"]):
+                        os.remove(f["path"])
+                        n_files += 1
+                        d = os.path.dirname(f["path"])
+                        if not os.listdir(d):
+                            shutil.rmtree(d, ignore_errors=True)
+            os.remove(
+                os.path.join(self.root, "snapshots", f"{sid:08d}.json")
+            )
+            n_snaps += 1
+        return {"snapshots_removed": n_snaps, "files_removed": n_files}
+
     def rollback(self, snapshot_id: int) -> dict:
         """Point the catalog back at an earlier snapshot (Iceberg
         rollback semantics): later snapshots' data files become orphans,

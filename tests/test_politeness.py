@@ -149,3 +149,65 @@ def test_scaled_priority_recency_orders_idle_hosts_first(spark):
     out = politeness.scaled_priority_key(df.drop(priority.SORT_KEY), hs).collect()
     first = lambda h: min(r.sort_key for r in out if f"{h}." in r.url)
     assert first("h4") < first("h3") < first("h2")  # never < oldest < recent
+
+
+ROBOTS_BODY = """
+# comments ignored
+User-agent: othercrawler
+Disallow: /private
+
+User-agent: *
+Disallow: /tmp
+Disallow: /search
+Allow: /search/news
+
+User-agent: newscrawl
+User-agent: newscrawl-dev
+Disallow: /drafts
+Disallow:
+"""
+
+
+def test_parse_robots_groups_and_precedence():
+    from newscrawl.politeness import parse_robots
+
+    # exact agent group beats the wildcard group
+    assert parse_robots(ROBOTS_BODY, agent="newscrawl") == ["/drafts"]
+    assert parse_robots(ROBOTS_BODY, agent="NewsCrawl-Dev") == ["/drafts"]
+    # unknown agents fall back to *
+    assert parse_robots(ROBOTS_BODY, agent="somebody") == ["/tmp", "/search"]
+    assert parse_robots(ROBOTS_BODY, agent="othercrawler") == ["/private"]
+    assert parse_robots("", agent="x") == []
+    assert parse_robots(None) == []
+    assert parse_robots("Disallow: /loose") == []  # rule outside any group
+
+
+def test_build_robots_table_feeds_filter(spark):
+    from newscrawl.politeness import build_robots_table, robots_filter
+
+    bodies = spark.createDataFrame(
+        [
+            ("a.example.com", "User-agent: *\nDisallow: /sec"),
+            ("b.example.com", "User-agent: *\nDisallow:"),
+        ],
+        "host string, body string",
+    )
+    robots = build_robots_table(bodies)
+    got = {r.host: r.disallow for r in robots.collect()}
+    assert got == {"a.example.com": ["/sec"], "b.example.com": []}
+
+    cands = spark.createDataFrame(
+        [
+            ("https://a.example.com/sec/x",),
+            ("https://a.example.com/ok/x",),
+            ("https://b.example.com/sec/x",),
+            ("https://c.example.com/sec/x",),  # host not in table -> allowed
+        ],
+        "url string",
+    )
+    kept = {r.url for r in robots_filter(cands, robots).collect()}
+    assert kept == {
+        "https://a.example.com/ok/x",
+        "https://b.example.com/sec/x",
+        "https://c.example.com/sec/x",
+    }

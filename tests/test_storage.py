@@ -138,3 +138,51 @@ def test_rollback_then_rerun_is_identical(spark, tmp_path):
         for r in wave.read_articles(spark, cat).collect()
     )
     assert got_arts == want_arts
+
+
+def test_expire_snapshots(spark, tmp_path):
+    """Maintenance: expiry drops old snapshots and their orphan files,
+    never anything a retained snapshot references."""
+    cat = ManifestParquetCatalog(str(tmp_path / "exp"))
+    wave.run_crawl(spark, cat, CFG, n_waves=3)
+    before = wave.crawl_order(spark, cat)
+    all_ids = cat.snapshot_ids()
+    res = cat.expire_snapshots(keep_last=2)
+    assert res["snapshots_removed"] == len(all_ids) - 2
+    assert res["files_removed"] > 0
+    assert cat.snapshot_ids() == all_ids[-2:]
+    # live state untouched, byte-identical
+    assert wave.crawl_order(spark, cat) == before
+    # retained time travel still works
+    old = cat.read(
+        spark, "articles", wave.ARTICLES, snapshot_id=all_ids[-2]
+    )
+    assert old.count() > 0
+    # idempotent
+    assert cat.expire_snapshots(keep_last=2)["snapshots_removed"] == 0
+
+
+def test_schema_evolution_reads_old_tables(spark, tmp_path):
+    """A catalog written under an OLDER articles schema (round-1: no
+    classify columns) must stay readable under the current schema —
+    added columns surface as nulls (parquet + explicit read schema)."""
+    from pyspark.sql import types as T
+
+    old_fields = [f for f in wave.ARTICLES.fields if f.name not in (
+        "summary", "topic", "sentiment_label", "sentiment_score",
+        "locations", "organizations", "persons", "sample", "is_cleaned",
+    )]
+    old_schema = T.StructType(old_fields)
+    cat = ManifestParquetCatalog(str(tmp_path / "evo"))
+    commit = cat.begin()
+    row = tuple(
+        {"url": "https://x.example.com/a", "source": "bbc", "wave_id": "w0000",
+         "n_chars": 5}.get(f.name)
+        for f in old_fields
+    )
+    commit.write("articles", spark.createDataFrame([row], schema=old_schema))
+    commit.commit(wave_id="w0000", wave_index=0)
+    got = cat.read(spark, "articles", wave.ARTICLES).collect()
+    assert len(got) == 1
+    assert got[0].url == "https://x.example.com/a"
+    assert got[0].topic is None and got[0].locations is None
