@@ -99,3 +99,56 @@ def test_host_state_seed_budget_tiers(spark, tmp_path):
     # ascending budget tiers: 001 first, 900 next, unseeded (999) last
     assert max(fast_pos) < min(slow_pos)
     assert max(slow_pos) < min(other_pos)
+
+
+def test_all_options_integration(spark, tmp_path):
+    """Everything on at once: scaled scheduler + per-host budget +
+    robots + webhook sink + bloom — the kitchen-sink crawl must commit
+    consistent state."""
+    import hashlib
+    import hmac as hmac_mod
+    import json
+
+    from newscrawl.schema import WEBHOOK_PAYLOADS
+    from newscrawl.politeness import build_robots_table
+
+    cfg = synth.SynthConfig(n_seed=3, n_total=12, n_waves=2)
+    robots = build_robots_table(
+        spark.createDataFrame(
+            [("bbc.example.com", "User-agent: *\nDisallow: /news")],
+            "host string, body string",
+        )
+    )
+    catalog = ManifestParquetCatalog(str(tmp_path / "all"))
+    metrics = wave.run_crawl(
+        spark,
+        catalog,
+        cfg,
+        scheduler="scaled",
+        budget=2,
+        robots=robots,
+        webhook_key=b"k",
+    )
+    assert len(metrics) == 2
+    arts = wave.read_articles(spark, catalog).collect()
+    assert arts
+    # robots: the disallowed bbc /news prefix never yields
+    assert not [a for a in arts if a.url.startswith("https://bbc.example.com/news")]
+    # budget: at most 2 yields per host per wave
+    for m in metrics:
+        per_host_wave: dict = {}
+        for r in wave.read_seen(spark, catalog).collect():
+            if r.processed_wave == m["wave_id"]:
+                h = r.url.split("/")[2]
+                per_host_wave[h] = per_host_wave.get(h, 0) + 1
+        assert all(n <= 2 for n in per_host_wave.values()), per_host_wave
+    # webhook rows signed over committed payloads
+    rows = catalog.read(spark, "webhook_payloads", WEBHOOK_PAYLOADS).collect()
+    assert len(rows) == 2 * len(arts)
+    for r in rows[:10]:
+        want = hmac_mod.new(b"k", r.payload.encode(), hashlib.sha256).hexdigest()
+        assert r.signature == want
+    # metrics JSON blobs parse and sum consistently
+    for m in metrics:
+        dist = json.loads(m["topic_distribution"])
+        assert sum(d["count"] for d in dist) == m["n_articles"]
