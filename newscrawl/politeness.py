@@ -172,20 +172,35 @@ def scaled_priority_key(df: DataFrame, host_state: DataFrame | None) -> DataFram
             .withColumn("last_fetch_ts", F.lit(None).cast("timestamp"))
         )
     depth = F.size(F.split(F.col("ord"), r"\.")) - 1
+    # every numeric key dimension is CLAMPED to its fixed format width —
+    # a value wider than its zero-padded field would sort lexically
+    # before narrower values (the same failure class as zfill-vs-lpad
+    # truncation on child ords), silently breaking the total order
+    budget_key = F.least(
+        F.greatest(F.coalesce(F.col("budget"), F.lit(999_999)), F.lit(0)),
+        F.lit(999_999),
+    )
+    score = F.least(
+        F.greatest(F.coalesce(F.col("news_score"), F.lit(0.0)), F.lit(0.0)),
+        F.lit(1.0),
+    )
     # epoch seconds, zero-padded: older (smaller) sorts first; nulls
-    # (never fetched) map to 0 = highest recency priority
+    # (never fetched) map to 0 = highest recency priority; pre-epoch
+    # timestamps clamp to 0 rather than injecting a '-' into the key
     idle_key = F.lpad(
-        F.coalesce(F.col("last_fetch_ts").cast("long"), F.lit(0)).cast("string"),
+        F.greatest(
+            F.coalesce(F.col("last_fetch_ts").cast("long"), F.lit(0)), F.lit(0)
+        ).cast("string"),
         12,
         "0",
     )
     return df.withColumn(
         SORT_KEY,
         F.format_string(
-            "%03d|%s|%04.0f|%02d|%02d|%s",
-            F.coalesce(F.col("budget"), F.lit(999)),
+            "%06d|%s|%04.0f|%02d|%02d|%s",
+            budget_key,
             idle_key,
-            (F.lit(1000) - F.coalesce(F.col("news_score"), F.lit(0)) * 1000),
+            (F.lit(1000) - score * 1000),
             depth,
             F.col("source_rank"),
             F.col("ord"),

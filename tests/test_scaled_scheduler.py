@@ -152,3 +152,35 @@ def test_all_options_integration(spark, tmp_path):
     for m in metrics:
         dist = json.loads(m["topic_distribution"])
         assert sum(d["count"] for d in dist) == m["n_articles"]
+
+
+def test_scaled_key_wide_budget_no_lexical_inversion(spark):
+    """Budget 1000 must sort AFTER 999 (ascending tiers): a %03d-width
+    key would put '1000...' before '999...' lexically."""
+    from newscrawl.politeness import scaled_priority_key
+
+    df = spark.createDataFrame(
+        [
+            ("https://a.example.com/x", "s", 0, "sec", 0, "0001"),
+            ("https://b.example.com/x", "s", 0, "sec", 0, "0001"),
+        ],
+        "url string, source string, source_rank int, section string, "
+        "section_rank int, ord string",
+    )
+    hs = spark.createDataFrame(
+        [("a.example.com", 1000, None, None), ("b.example.com", 999, None, None)],
+        schema=__import__("newscrawl.schema", fromlist=["HOST_STATE"]).HOST_STATE,
+    )
+    rows = scaled_priority_key(df, hs).orderBy("sort_key").collect()
+    assert [r.url.split("/")[2] for r in rows] == [
+        "b.example.com",
+        "a.example.com",
+    ]
+    # out-of-range inputs clamp instead of widening/injecting signs
+    hs2 = spark.createDataFrame(
+        [("a.example.com", 10_000_000, 5.0, None), ("b.example.com", -3, -2.0, None)],
+        schema=hs.schema,
+    )
+    keys = {r.url: r.sort_key for r in scaled_priority_key(df, hs2).collect()}
+    assert keys["https://a.example.com/x"].startswith("999999|")
+    assert keys["https://b.example.com/x"].startswith("000000|")
