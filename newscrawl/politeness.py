@@ -72,6 +72,81 @@ def parse_robots(body: str | None, agent: str = "newscrawl") -> list[str]:
     return [r for agents, rules in groups if "*" in agents for r in rules]
 
 
+def parse_crawl_delay(body: str | None, agent: str = "newscrawl") -> float | None:
+    """Crawl-delay (seconds) from the same group-matching rules as
+    parse_robots: exact agent group wins over ``*``; absent -> None."""
+    if not body:
+        return None
+    best: float | None = None
+    star: float | None = None
+    cur_agents: list[str] = []
+    in_agents = True
+    agent = agent.lower()
+    for raw in body.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not in_agents:
+                cur_agents = []
+            in_agents = True
+            cur_agents.append(val.lower())
+        else:
+            in_agents = False
+            if key == "crawl-delay":
+                try:
+                    d = float(val)
+                except ValueError:
+                    continue
+                if agent in cur_agents:
+                    best = d if best is None else min(best, d)
+                elif "*" in cur_agents:
+                    star = d if star is None else min(star, d)
+    return best if best is not None else star
+
+
+def host_budgets_from_robots(
+    bodies: DataFrame, wave_seconds: float, agent: str = "newscrawl"
+) -> DataFrame:
+    """Derive HOST_STATE budget seeds from robots Crawl-delay: a host
+    asking for one request per D seconds gets budget = floor(wave
+    duration / D) fetches per wave (>= 1). Hosts with no delay get no
+    row (unseeded = unlimited tier). Feed the result to
+    ``wave.init_crawl(host_state_seed=...)`` with the scaled scheduler:
+    robots politeness then shapes the priority queue itself, not just
+    the allow/deny filter."""
+    import math
+
+    import pandas as pd
+
+    def kernel(batch_iter):
+        for pdf in batch_iter:
+            hosts, budgets = [], []
+            for host, body in zip(pdf["host"], pdf["body"]):
+                d = parse_crawl_delay(body, agent)
+                if d is not None and d > 0:
+                    hosts.append(host)
+                    budgets.append(max(int(math.floor(wave_seconds / d)), 1))
+            yield pd.DataFrame(
+                {
+                    "host": pd.Series(hosts, dtype="object"),
+                    "budget": pd.Series(budgets, dtype="int32"),
+                }
+            )
+
+    return bodies.select("host", "body").mapInPandas(
+        kernel, schema="host string, budget int"
+    ).select(
+        "host",
+        "budget",
+        F.lit(None).cast("double").alias("news_score"),
+        F.lit(None).cast("timestamp").alias("last_fetch_ts"),
+    )
+
+
 def build_robots_table(bodies: DataFrame, agent: str = "newscrawl") -> DataFrame:
     """(host, body string) -> ROBOTS(host, disallow array<string>): the
     distributed robots cache build. Bodies come from fetching each
@@ -112,13 +187,20 @@ def robots_filter(candidates: DataFrame, robots: DataFrame | None) -> DataFrame:
 
 
 def budget_gate(
-    candidates: DataFrame, budget: int | None, n_salts: int = N_SALTS
+    candidates: DataFrame,
+    budget: "int | DataFrame | None",
+    n_salts: int = N_SALTS,
 ) -> tuple[DataFrame, DataFrame]:
     """Top-``budget`` candidates per host by sort_key -> (kept, deferred).
 
-    Deferred rows stay in the frontier for the next wave (the reference
-    analog: a homepage link not fetched this run is fetched on a later
-    run). Two-phase ranking defuses host skew: phase 1 ranks within
+    ``budget`` is a global int cap, or a PER-HOST table
+    ``(host, budget int)`` (e.g. host_budgets_from_robots — Crawl-delay
+    as an enforced per-wave cap); hosts absent from the table (or with
+    null budget) are uncapped. Deferred rows stay in the frontier for
+    the next wave (the reference analog: a homepage link not fetched
+    this run is fetched on a later run).
+
+    Two-phase ranking defuses host skew: phase 1 ranks within
     (host, salt) and pre-prunes to ``budget`` rows per salt — any row in
     a host's true top-``budget`` is necessarily within its salt's
     top-``budget``, so the prune is lossless for phase 2, which re-ranks
@@ -132,21 +214,41 @@ def budget_gate(
         return candidates, None
     df = candidates if SORT_KEY in candidates.columns else with_sort_key(candidates)
     df = df if "host" in df.columns else with_host(df)
-    out_cols = [c for c in df.columns if c not in ("host", "_rn1", "_rn2")]
+
+    if isinstance(budget, DataFrame):
+        # host-cardinality table -> broadcast; null/absent = uncapped
+        df = df.join(
+            F.broadcast(
+                budget.select("host", F.col("budget").alias("_budget"))
+            ),
+            "host",
+            "left",
+        )
+        bcol = F.col("_budget")
+    else:
+        df = df.withColumn("_budget", F.lit(int(budget)))
+        bcol = F.col("_budget")
+    out_cols = [
+        c for c in df.columns if c not in ("host", "_budget", "_rn1", "_rn2")
+    ]
+    # uncapped hosts bypass the gate entirely — they must not pay (or
+    # re-skew) the per-host window; empty when budget is a global int
+    free = df.filter(bcol.isNull()).select(*out_cols)
+    capped = df.filter(bcol.isNotNull())
 
     salt = F.pmod(F.xxhash64("url"), F.lit(n_salts))
     w1 = W.partitionBy("host", salt).orderBy(SORT_KEY)
-    phase1 = df.withColumn("_rn1", F.row_number().over(w1))
+    phase1 = capped.withColumn("_rn1", F.row_number().over(w1))
     w2 = W.partitionBy("host").orderBy(SORT_KEY)
     phase2 = (
-        phase1.filter(F.col("_rn1") <= budget)
+        phase1.filter(F.col("_rn1") <= bcol)
         .withColumn("_rn2", F.row_number().over(w2))
     )
-    kept = phase2.filter(F.col("_rn2") <= budget).select(*out_cols)
+    kept = phase2.filter(F.col("_rn2") <= bcol).select(*out_cols).unionByName(free)
     deferred = (
-        phase1.filter(F.col("_rn1") > budget)
+        phase1.filter(F.col("_rn1") > bcol)
         .select(*out_cols)
-        .unionByName(phase2.filter(F.col("_rn2") > budget).select(*out_cols))
+        .unionByName(phase2.filter(F.col("_rn2") > bcol).select(*out_cols))
     )
     return kept, deferred
 

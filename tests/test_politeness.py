@@ -211,3 +211,85 @@ def test_build_robots_table_feeds_filter(spark):
         "https://b.example.com/sec/x",
         "https://c.example.com/sec/x",
     }
+
+
+def test_parse_crawl_delay():
+    from newscrawl.politeness import parse_crawl_delay
+
+    body = (
+        "User-agent: *\nCrawl-delay: 5\nDisallow: /x\n\n"
+        "User-agent: newscrawl\nCrawl-delay: 0.5\n"
+    )
+    assert parse_crawl_delay(body, agent="newscrawl") == 0.5
+    assert parse_crawl_delay(body, agent="other") == 5.0
+    assert parse_crawl_delay("User-agent: *\nDisallow: /") is None
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: nope") is None
+    assert parse_crawl_delay(None) is None
+
+
+def test_host_budgets_from_robots_feed_scaled_crawl(spark, tmp_path):
+    """Crawl-delay -> per-wave budget seeds -> the scaled scheduler's
+    budget tiers: a throttled host gets capped AND deprioritized."""
+    from newscrawl import synth, wave
+    from newscrawl.politeness import host_budgets_from_robots, with_host
+    from newscrawl.storage import ManifestParquetCatalog
+
+    bodies = spark.createDataFrame(
+        [
+            ("bbc.example.com", "User-agent: *\nCrawl-delay: 30"),
+            ("cnn.example.com", "User-agent: *\nDisallow:"),  # no delay
+        ],
+        "host string, body string",
+    )
+    seeds = host_budgets_from_robots(bodies, wave_seconds=60.0)
+    got = {r.host: r.budget for r in seeds.collect()}
+    assert got == {"bbc.example.com": 2}  # floor(60/30); cnn unseeded
+
+    cfg = synth.SynthConfig(n_seed=4, n_total=10, n_waves=1, hot_links=False)
+    cat = ManifestParquetCatalog(str(tmp_path / "cd"))
+    wave.run_crawl(
+        spark, cat, cfg, scheduler="scaled", budget=None, host_state_seed=seeds
+    )
+    rows = with_host(wave.read_seen(spark, cat)).orderBy("sort_key").collect()
+    bbc = [i for i, r in enumerate(rows) if r.host == "bbc.example.com"]
+    rest = [i for i, r in enumerate(rows) if r.host != "bbc.example.com"]
+    # budget tier 2 sorts before the unseeded (999999) tier
+    assert bbc and max(bbc) < min(rest)
+
+
+def test_budget_gate_per_host_table(spark):
+    """Per-host budget table: each host capped at ITS budget, absent/null
+    hosts uncapped; kept+deferred partition the input exactly."""
+    from newscrawl.politeness import budget_gate
+    from newscrawl.priority import with_sort_key
+
+    rows = []
+    for h, n in (("a.example.com", 6), ("b.example.com", 6), ("c.example.com", 6)):
+        for i in range(n):
+            rows.append(
+                (f"https://{h}/p{i}", "s", 0, "sec", 0, str(i).zfill(4))
+            )
+    cands = with_sort_key(
+        spark.createDataFrame(
+            rows,
+            "url string, source string, source_rank int, section string, "
+            "section_rank int, ord string",
+        )
+    )
+    budgets = spark.createDataFrame(
+        [("a.example.com", 2), ("b.example.com", 4), ("d.example.com", 1)],
+        "host string, budget int",
+    )
+    kept, deferred = budget_gate(cands, budgets)
+    k = {}
+    for r in kept.collect():
+        k.setdefault(r.url.split("/")[2], set()).add(r.url)
+    assert {h: len(u) for h, u in k.items()} == {
+        "a.example.com": 2, "b.example.com": 4, "c.example.com": 6,
+    }
+    # exact top-by-sort_key per host
+    assert k["a.example.com"] == {"https://a.example.com/p0", "https://a.example.com/p1"}
+    # kept + deferred = input, disjoint
+    ku = {r.url for r in kept.collect()}
+    du = {r.url for r in deferred.collect()}
+    assert ku | du == {r[0] for r in rows} and not (ku & du)
