@@ -884,6 +884,24 @@ LIMIT 10
 """
 
 
+def q_knn_recall(spark, sf_dir):
+    """ANN quality eval: recall@10 of the IVF-bucketed search against
+    the brute-force ground truth for the same query vector — the metric
+    that decides an index's bucket count / probe count in production.
+    One row: |IVF top-10 ∩ brute top-10| / 10."""
+    brute = q_knn_cosine(spark, sf_dir).select("vec_id")
+    ivf = q_knn_ivf(spark, sf_dir).select("vec_id")
+    return brute.join(ivf, "vec_id").agg(
+        F.round(F.count("*") / 10.0, 2).alias("recall_at_10")
+    )
+
+
+SQL_KNN_RECALL = f"""
+SELECT round(count(*) / 10.0, 2) AS recall_at_10
+FROM ({SQL_KNN_COSINE}) b JOIN ({SQL_KNN_IVF}) i USING (vec_id)
+"""
+
+
 GEO_ALIASES = [
     ("us", "united states"),
     ("usa", "united states"),
@@ -1854,4 +1872,5 @@ QUERIES = {
     "kmeans_step": (q_kmeans_step, SQL_KMEANS_STEP),
     "knn_label_majority": (q_knn_label_majority, SQL_KNN_LABEL_MAJORITY),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
+    "knn_recall": (q_knn_recall, SQL_KNN_RECALL),
 }
