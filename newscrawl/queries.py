@@ -688,6 +688,79 @@ SQL_NGRAM_JACCARD_PAIRS = SQL_NGRAM_JACCARD_PAIRS.format(
 )
 
 
+def q_near_dup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTERS: connected components over the MinHash-
+    LSH candidate pairs, labeled by each component's smallest doc_id —
+    the final dedup step of a training-data pipeline (keep one canonical
+    doc per cluster: is_canonical marks it).
+
+    Distributed shape: iterative min-label propagation (label = min of
+    own and neighbors' labels per round) — each round is one join + one
+    groupBy, converging within the component diameter; near-dup
+    clusters are shallow so the loop is short, and every round is a
+    bounded shuffle on doc_id (no driver materialization beyond the
+    convergence counter). The DuckDB oracle computes the identical
+    fixpoint with a recursive CTE."""
+    pairs = q_minhash_lsh_candidates(spark, sf_dir)
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).persist()
+    labels = edges.select(F.col("doc_a").alias("doc_id")).distinct().withColumn(
+        "label", F.col("doc_id")
+    )
+    for _round in range(24):  # >= any near-dup component diameter
+        msgs = edges.join(
+            labels, edges.doc_a == labels.doc_id, "inner"
+        ).select(F.col("doc_b").alias("doc_id"), "label")
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+        ).persist()
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("label", "_old"), "doc_id"
+            )
+            .filter(F.col("label") != F.col("_old"))
+            .count()
+        )
+        labels.unpersist()  # no-op on the unpersisted round-0 frame
+        labels = new_labels
+        if changed == 0:
+            break
+    else:  # pragma: no cover
+        raise RuntimeError("label propagation did not converge in 24 rounds")
+    edges.unpersist()
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster"),
+        (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+    )
+
+
+SQL_NEAR_DUP_CLUSTERS = """
+WITH RECURSIVE edges AS (
+  SELECT doc_a AS s, doc_b AS t FROM ({minhash}) c
+  UNION ALL
+  SELECT doc_b, doc_a FROM ({minhash}) c
+),
+walk(doc_id, label) AS (
+    SELECT DISTINCT s, s FROM edges
+  UNION
+    SELECT e.t, w.label FROM walk w JOIN edges e ON e.s = w.doc_id
+)
+SELECT doc_id, min(label) AS cluster,
+       doc_id = min(label) AS is_canonical
+FROM walk GROUP BY doc_id
+"""
+# splice in the minhash SQL (defined above) at definition time
+SQL_NEAR_DUP_CLUSTERS = SQL_NEAR_DUP_CLUSTERS.format(
+    minhash=SQL_MINHASH_LSH_CANDIDATES
+)
+
+
 def q_knn_cosine(spark, sf_dir):
     """Brute-force cosine top-10 ANN baseline over the embeddings table
     (query = vec_id 0), all in JVM expressions: zip_with product +
@@ -1873,4 +1946,5 @@ QUERIES = {
     "knn_label_majority": (q_knn_label_majority, SQL_KNN_LABEL_MAJORITY),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     "knn_recall": (q_knn_recall, SQL_KNN_RECALL),
+    "near_dup_clusters": (q_near_dup_clusters, SQL_NEAR_DUP_CLUSTERS),
 }
