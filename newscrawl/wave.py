@@ -10,9 +10,11 @@ get_all_articles.py:6-19 + classifier.py:194-320):
       -> robots filter + per-host budget gate   (north-rule additions;
                                                  no-ops in reference mode)
       -> pages scan ⋈ broadcast(candidates)     (the "fetch"; J4 —
-         html never shuffles; bucketed co-located variant in bucketing.py)
+         html never shuffles; pages_table= switches to the bucketed
+         co-located zero-Exchange variant, bucketing.py)
       -> mapInPandas extract, html dropped in-scan (S14, P8, F4 +
-         per-page text analysis)
+         per-page text analysis + the classify stage: topic/sentiment/
+         summary/entities, reference classifier.py:232-277)
       -> split: articles Δ | seen Δ | carry (fetch-fail or <100 chars,
                retried next wave) | child frontier rows
       -> atomic multi-table commit, output jobs submitted concurrently
