@@ -1420,6 +1420,36 @@ FROM s GROUP BY user_id, session_no
 """
 
 
+def q_windowed_counts(spark, sf_dir):
+    """Event-time tumbling windows as a batch query — the batch twin of
+    streaming.windowed_host_counts (same F.window semantics the
+    streaming path uses with a watermark): 10-minute buckets per
+    event_type. Spark's window() and DuckDB's time_bucket are both
+    epoch-aligned, so bucket boundaries agree exactly."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts").cast("timestamp"), "10 minutes").alias("win"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+SQL_WINDOWED_COUNTS = """
+SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       event_type, count(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_url_canonicalize(spark, sf_dir):
     """URL canonicalization (newscrawl/canonicalize.py semantics):
     lowercase scheme+authority, strip default port and fragment, path
@@ -1947,4 +1977,5 @@ QUERIES = {
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     "knn_recall": (q_knn_recall, SQL_KNN_RECALL),
     "near_dup_clusters": (q_near_dup_clusters, SQL_NEAR_DUP_CLUSTERS),
+    "windowed_counts": (q_windowed_counts, SQL_WINDOWED_COUNTS),
 }

@@ -38,6 +38,8 @@ def stream_crawl(
     min_text_chars: int = ex.MIN_TEXT_CHARS,
     budget: int | None = None,
     max_files_per_trigger: int | None = None,
+    scheduler: str = "reference",
+    webhook_key: bytes | None = None,
 ) -> int:
     """Process all currently-available page files as a sequence of crawl
     waves (one per micro-batch), then stop. Returns waves executed.
@@ -62,6 +64,8 @@ def stream_crawl(
             wave_index,
             min_text_chars=min_text_chars,
             budget=budget,
+            scheduler=scheduler,
+            webhook_key=webhook_key,
         )
         n_waves["n"] += 1
 
