@@ -171,3 +171,35 @@ def test_windowed_host_counts_watermark_drops_late(spark, tmp_path):
     # open windows ([60,70)) have not been closed by a later watermark ->
     # not emitted yet in append mode
     assert (60, "b.example.com") not in got
+
+
+def test_stream_crawl_forwards_webhook_and_scheduler(spark, tmp_path):
+    """Micro-batch waves must honor the forwarded sink/scheduler options:
+    every streamed wave appends signed webhook rows and host_state."""
+    import hashlib
+    import hmac as hmac_mod
+
+    from newscrawl.schema import HOST_STATE, WEBHOOK_PAYLOADS
+
+    cfg = synth.SynthConfig(n_seed=2, n_total=10, n_waves=1)
+    pages_dir = tmp_path / "pages"
+    synth.build_pages_df(spark, cfg).coalesce(2).write.parquet(str(pages_dir))
+    catalog = ManifestParquetCatalog(str(tmp_path / "cat"))
+    wave.init_crawl(spark, catalog, synth.build_seeds_df(spark, cfg))
+    n = streaming.stream_crawl(
+        spark,
+        catalog,
+        str(pages_dir),
+        str(tmp_path / "ckpt"),
+        scheduler="scaled",
+        webhook_key=b"sk",
+    )
+    assert n >= 1
+    arts = wave.read_articles(spark, catalog).collect()
+    rows = catalog.read(spark, "webhook_payloads", WEBHOOK_PAYLOADS).collect()
+    assert len(rows) == 2 * len(arts) > 0
+    r = rows[0]
+    assert r.signature == hmac_mod.new(
+        b"sk", r.payload.encode(), hashlib.sha256
+    ).hexdigest()
+    assert catalog.read(spark, "host_state", HOST_STATE).count() > 0
