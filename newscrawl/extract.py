@@ -382,42 +382,57 @@ EXTRACT_COLUMNS = (
 )
 
 
-def extract_pages(batch_iter: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
-    """mapInPandas function: html binary -> extracted text + analysis +
-    classify-stage enrichment, one Python pass per page.
-
-    Pure per-row transformation over Arrow batches — no state, no
-    shuffling, safe at any partitioning. The html column is consumed and
-    DROPPED on output (it must never flow into persisted wave state —
-    at 100 TB the raw bytes dominate every downstream cost). Enrichment
-    (summary/topic/sentiment/entities) is fused in-scan rather than run
-    as a second kernel over the article slice: the extra work on rows
-    that don't become articles (skips, too-short) is far cheaper than a
-    second Arrow round-trip of every article's text. Use with::
-
-        df.mapInPandas(extract_pages,
-                       schema=<input schema minus html> + EXTRACT_COLUMNS)
+def make_extract_kernel(enrich_fn=None):
+    """Build the extraction mapInPandas kernel with a pluggable
+    classify stage. ``enrich_fn(text) -> (summary, topic,
+    sentiment_label, sentiment_score, locations, organizations,
+    persons)`` defaults to the deterministic ``enrich_article``; a
+    deployment swaps in real model inference here (batched HF pipelines
+    etc. — classifier.py's three models). The function is captured in
+    the kernel CLOSURE, so Spark serializes it with the task and it
+    reaches executor Python workers — a module-level hook would not.
     """
-    for pdf in batch_iter:
-        htmls = pdf["html"]
-        pdf = pdf.drop(columns=["html"])
-        pdf["title"] = [extract_title(h) for h in htmls]
-        pdf["text"] = [extract_text(h) for h in htmls]
-        pdf["clean_text"] = [clean_text(t) for t in pdf["text"]]
-        pdf["outlinks"] = [discover_outlinks(h) for h in htmls]
-        pdf["skip"] = [is_skip_title(t) for t in pdf["title"]]
-        analysis = [analyze_text(t) for t in pdf["text"]]
-        pdf["n_tokens"] = [a[0] for a in analysis]
-        pdf["stop_ratio"] = [a[1] for a in analysis]
-        pdf["lang_pred"] = [a[2] for a in analysis]
-        pdf["quality"] = [a[3] for a in analysis]
-        pdf["fingerprint"] = [rolling_fingerprint(t) for t in pdf["text"]]
-        enr = [enrich_article(t) for t in pdf["text"]]
-        pdf["summary"] = [e[0] for e in enr]
-        pdf["topic"] = [e[1] for e in enr]
-        pdf["sentiment_label"] = [e[2] for e in enr]
-        pdf["sentiment_score"] = [e[3] for e in enr]
-        pdf["locations"] = [e[4] for e in enr]
-        pdf["organizations"] = [e[5] for e in enr]
-        pdf["persons"] = [e[6] for e in enr]
-        yield pdf
+    enrich = enrich_fn or enrich_article
+
+    def extract_pages_fn(batch_iter: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        for pdf in batch_iter:
+            htmls = pdf["html"]
+            pdf = pdf.drop(columns=["html"])
+            pdf["title"] = [extract_title(h) for h in htmls]
+            pdf["text"] = [extract_text(h) for h in htmls]
+            pdf["clean_text"] = [clean_text(t) for t in pdf["text"]]
+            pdf["outlinks"] = [discover_outlinks(h) for h in htmls]
+            pdf["skip"] = [is_skip_title(t) for t in pdf["title"]]
+            analysis = [analyze_text(t) for t in pdf["text"]]
+            pdf["n_tokens"] = [a[0] for a in analysis]
+            pdf["stop_ratio"] = [a[1] for a in analysis]
+            pdf["lang_pred"] = [a[2] for a in analysis]
+            pdf["quality"] = [a[3] for a in analysis]
+            pdf["fingerprint"] = [rolling_fingerprint(t) for t in pdf["text"]]
+            enr = [enrich(t) for t in pdf["text"]]
+            pdf["summary"] = [e[0] for e in enr]
+            pdf["topic"] = [e[1] for e in enr]
+            pdf["sentiment_label"] = [e[2] for e in enr]
+            pdf["sentiment_score"] = [e[3] for e in enr]
+            pdf["locations"] = [e[4] for e in enr]
+            pdf["organizations"] = [e[5] for e in enr]
+            pdf["persons"] = [e[6] for e in enr]
+            yield pdf
+
+    return extract_pages_fn
+
+
+# The default kernel: html binary -> extracted text + analysis +
+# classify-stage enrichment, one Python pass per page.
+#
+# Pure per-row transformation over Arrow batches — no state, no
+# shuffling, safe at any partitioning. The html column is consumed and
+# DROPPED on output (it must never flow into persisted wave state — at
+# 100 TB the raw bytes dominate every downstream cost). Enrichment
+# (summary/topic/sentiment/entities) is fused in-scan rather than run as
+# a second kernel over the article slice: the extra work on rows that
+# don't become articles (skips, too-short) is far cheaper than a second
+# Arrow round-trip of every article's text. Use with:
+#     df.mapInPandas(extract_pages,
+#                    schema=<input schema minus html> + EXTRACT_COLUMNS)
+extract_pages = make_extract_kernel()

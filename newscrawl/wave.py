@@ -89,8 +89,11 @@ def run_wave(
     scheduler: str = "reference",
     pages_table: str | None = None,
     fetch_buckets: int = 32,
+    enrich_fn=None,
 ) -> dict:
-    """One crawl wave. ``scheduler`` picks the candidate ordering:
+    """One crawl wave. ``enrich_fn`` swaps the deterministic classify
+    stand-in for real model inference (see extract.make_extract_kernel).
+    ``scheduler`` picks the candidate ordering:
 
     - ``"reference"`` (default): the reference's total order
       (source rank, section rank, ord) — required for fixture parity.
@@ -188,9 +191,10 @@ def run_wave(
         for f in fetched.schema.fields
         if f.name != "html"
     )
-    ext_raw = fetched.mapInPandas(
-        ex.extract_pages, schema=f"{in_ddl}, {ex.EXTRACT_COLUMNS}"
+    kernel = (
+        ex.extract_pages if enrich_fn is None else ex.make_extract_kernel(enrich_fn)
     )
+    ext_raw = fetched.mapInPandas(kernel, schema=f"{in_ddl}, {ex.EXTRACT_COLUMNS}")
     # re-key with the SAME scheduler that ordered the candidates (the
     # broadcast carries only the six frontier columns; the key is a
     # deterministic projection, so recomputation equals selection)
@@ -489,6 +493,7 @@ def run_crawl(
     host_state_seed: DataFrame | None = None,
     pages_table: str | None = None,
     fetch_buckets: int = 32,
+    enrich_fn=None,
 ) -> list[dict]:
     """Run (or resume) a crawl. Already-committed waves are skipped —
     replaying is a no-op, which is the resume/idempotence guarantee."""
@@ -515,6 +520,7 @@ def run_crawl(
                 scheduler=scheduler,
                 pages_table=pages_table,
                 fetch_buckets=fetch_buckets,
+                enrich_fn=enrich_fn,
             )
         )
     return out
