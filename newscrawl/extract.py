@@ -395,6 +395,13 @@ def make_extract_kernel(enrich_fn=None):
     enrich = enrich_fn or enrich_article
 
     def extract_pages_fn(batch_iter: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        # the fingerprint is the kernel's hottest loop; use the native
+        # kernel when a C compiler is available on this worker, else the
+        # pure-Python spec (identical output either way — the oracle
+        # always runs the spec, so golden diffs cross-validate the pair)
+        from ._fp_native import get_fingerprint_fn
+
+        fp = get_fingerprint_fn(rolling_fingerprint)
         for pdf in batch_iter:
             htmls = pdf["html"]
             pdf = pdf.drop(columns=["html"])
@@ -408,7 +415,7 @@ def make_extract_kernel(enrich_fn=None):
             pdf["stop_ratio"] = [a[1] for a in analysis]
             pdf["lang_pred"] = [a[2] for a in analysis]
             pdf["quality"] = [a[3] for a in analysis]
-            pdf["fingerprint"] = [rolling_fingerprint(t) for t in pdf["text"]]
+            pdf["fingerprint"] = [fp(t) for t in pdf["text"]]
             enr = [enrich(t) for t in pdf["text"]]
             pdf["summary"] = [e[0] for e in enr]
             pdf["topic"] = [e[1] for e in enr]

@@ -116,3 +116,33 @@ def test_canonical_url_semantics():
     from newscrawl import canonicalize as c
 
     assert c is not None
+
+
+def test_native_fingerprint_equals_spec():
+    """The optional C kernel must agree with the pure-Python spec on
+    real pages and adversarial strings; if no compiler is available the
+    resolver must hand back the spec itself."""
+    import random
+
+    from newscrawl import synth
+    from newscrawl._fp_native import get_fingerprint_fn
+    from newscrawl.extract import rolling_fingerprint
+
+    fp = get_fingerprint_fn(rolling_fingerprint)
+    if fp is rolling_fingerprint:
+        return  # no compiler here: fallback wiring verified, parity moot
+
+    cfg = synth.SynthConfig(n_seed=4, n_total=20, base_paras=8)
+    texts = [
+        p.text
+        for u in synth.iter_urls(cfg, 0, 150)
+        if (p := synth.page_for_url(u, cfg))
+    ]
+    texts += ["", "a", "x" * 63, "x" * 64, "x" * 65, "å" * 200, "\x00\xff" * 40]
+    rng = random.Random(11)
+    texts += [
+        "".join(chr(rng.randrange(1, 0x500)) for _ in range(rng.randrange(0, 500)))
+        for _ in range(300)
+    ]
+    for t in texts:
+        assert fp(t) == rolling_fingerprint(t), repr(t[:40])
