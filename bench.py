@@ -85,6 +85,11 @@ def bench_crawl(spark, scale: int) -> dict:
 
     n_waves = int(os.environ.get("NEWSCRAWL_BENCH_WAVES", "3"))
     seed_all = os.environ.get("NEWSCRAWL_BENCH_SEED_ALL") == "1"
+    # page weight knob: paragraphs per page. 30 ~= 3 KB html — far
+    # LIGHTER than real news pages (50-200 KB); the scaling report uses
+    # a heavier corpus so the data plane dominates the way it does on
+    # real pages.
+    paras = int(os.environ.get("NEWSCRAWL_BENCH_PARAS", "30"))
     if seed_all:
         # one maximal wave: the whole universe seeded up front. This is
         # the 100 TB regime in miniature — per-wave control-plane cost
@@ -95,7 +100,7 @@ def bench_crawl(spark, scale: int) -> dict:
             n_total=12000 * scale,
             hot_universe=64,
             n_waves=n_waves,
-            base_paras=30,
+            base_paras=paras,
         )
     else:
         cfg = synth.SynthConfig(
@@ -103,7 +108,7 @@ def bench_crawl(spark, scale: int) -> dict:
             n_total=12000 * scale,
             hot_universe=60000 * scale,
             n_waves=n_waves,
-            base_paras=30,  # realistic page weight -> extraction-dominated waves
+            base_paras=paras,
         )
     # materialize the corpus into the block-manager cache first, so page
     # generation isn't billed to the crawl AND the per-wave scans read at
@@ -167,7 +172,8 @@ def bench_extract_stage(spark, scale: int) -> dict:
 
     cfg = synth.SynthConfig(
         n_seed=12000 * scale, n_total=12000 * scale, hot_universe=64,
-        n_waves=1, base_paras=30,
+        n_waves=1,
+        base_paras=int(os.environ.get("NEWSCRAWL_BENCH_PARAS", "30")),
     )
     pages = synth.build_pages_df(
         spark, cfg, num_partitions=spark.sparkContext.defaultParallelism * 4
@@ -331,6 +337,11 @@ def scaling_report(sf_dir: str, scale: int) -> None:
         # interference into single runs (measured 10.1k vs 19.1k urls/s
         # back-to-back on an identical 32-CPU extract stage)
         env.setdefault("NEWSCRAWL_BENCH_REPS", "2")
+        # heavier, more realistic page weight for the scaling pair
+        # (~6 KB html vs the default ~3 KB; real news pages are
+        # 50-200 KB) so the per-url data plane dominates the per-wave
+        # residue the way it does on real pages
+        env.setdefault("NEWSCRAWL_BENCH_PARAS", "60")
         out = subprocess.run(
             ["taskset", "-c", cpuset, sys.executable, __file__, "--crawl-only"],
             capture_output=True,
@@ -398,7 +409,12 @@ def scaling_report(sf_dir: str, scale: int) -> None:
             "0.812-0.826; speeding the kernel up 3x (native fingerprint,\n"
             "fused classify) raised absolute throughput while shifting the\n"
             "local-mode end-to-end ratio toward the fixed residue.\n\n"
-            f"Corpus scale knob: NEWSCRAWL_BENCH_SCALE={scale}.\n\n"
+            f"Corpus knobs: NEWSCRAWL_BENCH_SCALE={scale}, "
+            f"NEWSCRAWL_BENCH_PARAS={os.environ.get('NEWSCRAWL_BENCH_PARAS', '60')}"
+            " (~6 KB html/page — heavier than the 3 KB quick-bench corpus,\n"
+            "still far lighter than real 50-200 KB news pages; the heavier\n"
+            "the page, the more the per-url data plane dominates the\n"
+            "per-wave residue, as it does on real pages).\n\n"
             "Reference baseline for context: the reference pipeline processes\n"
             "~50-200 articles per 2-10 min run (~0.1-1.7 urls/sec ceiling,\n"
             "/root/reference README.md:399). See repo-root BASELINE.md.\n"
