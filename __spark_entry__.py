@@ -68,7 +68,15 @@ def _crawl_wave_articles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = synth.SynthConfig(n_seed=2, n_total=12, n_waves=2)
     catalog = ManifestParquetCatalog(tempfile.mkdtemp(prefix="newscrawl_entry_"))
     wave.run_crawl(spark, catalog, cfg)
-    return wave.read_articles(spark, catalog).orderBy("wave_id", "url")
+    arts = wave.read_articles(spark, catalog)
+    # The driver's rows-check canonicalizer sorts every column via pandas
+    # lexsort, which cannot factorize list cells — serialize the entity
+    # ARRAY<STRING> columns to a stable scalar for the comparator. The
+    # engine-side schema (ARTICLES, schema.py) keeps the real arrays; the
+    # golden diff in tests/test_wave.py checks those.
+    for c in ("locations", "organizations", "persons"):
+        arts = arts.withColumn(c, F.array_join(F.col(c), "|"))
+    return arts.orderBy("wave_id", "url")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -137,21 +137,26 @@ def bench_crawl(spark, scale: int) -> dict:
     # engine's actual cost (each rep is a complete fresh-catalog crawl).
     # Default 2 so the recorded headline number is interference-robust.
     reps = int(os.environ.get("NEWSCRAWL_BENCH_REPS", "2"))
-    best_sec, n_urls, n_waves = None, 0, 0
+    rep_secs, n_urls, n_waves = [], 0, 0
     for _ in range(max(reps, 1)):
         catalog = ManifestParquetCatalog(tempfile.mkdtemp(prefix="newscrawl_bench_"))
         t0 = time.perf_counter()
         metrics = wave.run_crawl(spark, catalog, cfg, pages=pages)
-        sec = time.perf_counter() - t0
-        if best_sec is None or sec < best_sec:
-            best_sec = sec
+        rep_secs.append(time.perf_counter() - t0)
         n_urls = sum(m["n_yielded"] for m in metrics)
         n_waves = len(metrics)
+    best_sec = min(rep_secs)
+    # record ALL rep times + the rep policy so cross-round deltas can
+    # compare like-for-like (min vs min, median vs median), not a min
+    # against a prior single-run number
     return {
         "pages": n_pages,
         "urls": n_urls,
         "waves": n_waves,
         "sec": round(best_sec, 3),
+        "sec_median": round(sorted(rep_secs)[len(rep_secs) // 2], 3),
+        "rep_secs": [round(s, 3) for s in rep_secs],
+        "rep_policy": f"min-of-{len(rep_secs)}",
         "urls_per_sec": round(n_urls / best_sec, 1) if best_sec > 0 else None,
     }
 
@@ -202,16 +207,18 @@ def bench_extract_stage(spark, scale: int) -> dict:
     )
     # best-of-REPS against sandbox interference (see bench_crawl)
     reps = int(os.environ.get("NEWSCRAWL_BENCH_REPS", "1"))
-    best_sec, n = None, 0
+    rep_secs, n = [], 0
     for _ in range(max(reps, 1)):
         t0 = time.perf_counter()
         n = extracted.count()
-        sec = time.perf_counter() - t0
-        if best_sec is None or sec < best_sec:
-            best_sec = sec
+        rep_secs.append(time.perf_counter() - t0)
+    best_sec = min(rep_secs)
     return {
         "urls": n,
         "sec": round(best_sec, 3),
+        "sec_median": round(sorted(rep_secs)[len(rep_secs) // 2], 3),
+        "rep_secs": [round(s, 3) for s in rep_secs],
+        "rep_policy": f"min-of-{len(rep_secs)}",
         "urls_per_sec": round(n / best_sec, 1),
     }
 
@@ -257,6 +264,12 @@ def delta_vs_prev(crawl: dict, qs: dict) -> dict | None:
         out["crawl_urls_per_sec_ratio"] = round(
             crawl["urls_per_sec"] / prev_rate, 3
         )
+        # disclose the rep policies on both sides of the ratio so a
+        # min-of-N vs single-run comparison can't silently read as a win
+        out["crawl_rep_policy"] = {
+            "this": crawl.get("rep_policy", "single-run"),
+            "prev": (parsed.get("crawl") or {}).get("rep_policy", "single-run"),
+        }
     return out
 
 

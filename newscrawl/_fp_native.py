@@ -70,8 +70,25 @@ def _load() -> "ctypes.CDLL | bool":
         return _lib
     try:
         tag = hashlib.md5(_SRC.encode("utf-8")).hexdigest()[:12]
-        so_path = os.path.join(tempfile.gettempdir(), f"newscrawl_fp_{tag}.so")
-        if not os.path.exists(so_path):
+        # Cache under a per-user 0700 directory, never the shared world-
+        # writable tmpdir: CDLL runs library constructors before our
+        # parity self-check, so a .so pre-planted by another local user
+        # at a predictable shared path would execute arbitrary code.
+        cache_root = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+            os.path.expanduser("~"), ".cache"
+        )
+        cache_dir = os.path.join(cache_root, "newscrawl")
+        try:
+            os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+        except OSError:
+            cache_dir = tempfile.mkdtemp(prefix="newscrawl_fp_")  # 0700 by spec
+        so_path = os.path.join(cache_dir, f"newscrawl_fp_{tag}.so")
+        if os.path.exists(so_path):
+            st = os.stat(so_path)
+            # refuse a cached library we don't own or that others can write
+            if st.st_uid != os.getuid() or (st.st_mode & 0o022):
+                raise RuntimeError("untrusted cached .so — refusing to load")
+        else:
             src_path = so_path + f".{os.getpid()}.c"
             with open(src_path, "w") as f:
                 f.write(_SRC)

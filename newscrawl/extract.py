@@ -266,7 +266,14 @@ NEG_WORDS = frozenset(
 )
 
 SUMMARY_GATE_CHARS = 200  # classifier.py:232-235 / summarizer.py:141-143
-SUMMARY_TOKENS = 48
+SUMMARY_TOKENS = 48  # max output tokens (the recursion gate below)
+# Recursive re-summarize fixpoint constants (stand-ins for the
+# reference's 512-token chunk bound and per-chunk max_length,
+# summarizer.py:115-133, 188-199, 215-217 — scaled to the synthetic
+# corpus's shorter texts):
+SUMMARY_CHUNK_TOKENS = 64  # chunk_text(max_tokens=512) analog
+SUMMARY_TOKENS_PER_CHUNK = 12  # per-chunk summary length (max_len analog)
+SUMMARY_TOKEN_BOUND = SUMMARY_TOKENS  # 'still too long -> recurse' gate
 
 # Entity buckets (GenAI/spaCy stand-in; consistent with the
 # queries.ENTITY_VOCAB labels: GPE->locations, ORG->organizations,
@@ -284,15 +291,40 @@ ENTITY_LEXICON: dict[str, str] = {
 }
 
 
-def summarize(text: str) -> str:
-    """Deterministic summary stand-in with the reference's exact gate:
-    texts of <= 200 chars pass through unchanged (classifier.py:232-235);
-    longer texts reduce to their first SUMMARY_TOKENS whitespace tokens
-    (the stand-in for smart_summarize, summarizer.py:140-216)."""
+def summarize_iters(text: str) -> tuple[str, int]:
+    """Deterministic mirror of smart_summarize's recursive fixpoint
+    (summarizer.py:141-219): texts of <= 200 chars pass through unchanged
+    (the reference's gate, classifier.py:232-235 / summarizer.py:142-143);
+    longer texts are chunked, each chunk is 'summarized' to its prefix,
+    the chunk summaries are rejoined, and the whole loop REPEATS while
+    the result still exceeds the token bound — exactly the reference's
+    `if len(tokenizer.encode(result)) > 512: return smart_summarize(result)`
+    recursion, with the model swapped for a deterministic prefix and the
+    greedy sentence packing simplified to fixed token windows (so the
+    DuckDB oracle can express the identical fold; the control flow —
+    chunk -> per-chunk summarize -> join -> recurse-while-too-long — is
+    the reference's). Returns (summary, n_passes). Termination: each
+    pass maps n tokens to SUMMARY_TOKENS_PER_CHUNK*ceil(n/
+    SUMMARY_CHUNK_TOKENS) < n for every n above the bound."""
     text = (text or "").strip()
     if len(text) <= SUMMARY_GATE_CHARS:
-        return text
-    return " ".join(text.split()[:SUMMARY_TOKENS])
+        return text, 0
+    toks = text.split()
+    iters = 0
+    while True:  # the reference always summarizes a >gate text at least once
+        toks = [
+            t
+            for i, t in enumerate(toks)
+            if i % SUMMARY_CHUNK_TOKENS < SUMMARY_TOKENS_PER_CHUNK
+        ]
+        iters += 1
+        if len(toks) <= SUMMARY_TOKEN_BOUND:
+            return " ".join(toks), iters
+
+
+def summarize(text: str) -> str:
+    """Summary text of the recursive fixpoint (see summarize_iters)."""
+    return summarize_iters(text)[0]
 
 
 def enrich_article(

@@ -29,20 +29,29 @@ def with_host(df: DataFrame) -> DataFrame:
     return df.withColumn("host", F.regexp_extract("url", HOST_RE, 1))
 
 
-def parse_robots(body: str | None, agent: str = "newscrawl") -> list[str]:
-    """Minimal deterministic robots.txt parser -> Disallow prefixes.
+def parse_robots_rules(
+    body: str | None, agent: str = "newscrawl"
+) -> tuple[list[str], list[str]]:
+    """Deterministic robots.txt parser -> (disallow, allow) prefix lists.
 
-    Groups are runs of ``User-agent`` lines followed by rules; the
-    best-matching group wins (exact agent match beats ``*``; like the
-    RFC 9309 longest-match rule collapsed to our two cases). Empty
-    ``Disallow:`` means allow-all and contributes nothing. Comments
-    (#...) and unknown directives are ignored. Pure function — the
-    distributed cache builder and tests share it."""
+    RFC 9309 semantics at group level: groups are runs of ``User-agent``
+    lines followed by rules, and ANY non-user-agent line (known or
+    unknown directive, e.g. Crawl-delay or Sitemap) ends the agent-run —
+    so ``User-agent: a / Crawl-delay: 1 / User-agent: b`` starts a NEW
+    group for b rather than merging a and b. The best-matching group
+    wins (exact agent match beats ``*``; the RFC's longest-agent-match
+    collapsed to our two cases). Empty ``Disallow:``/``Allow:`` values
+    contribute nothing. Comments (#...) are stripped. Pure function —
+    the distributed cache builder and tests share it. Per-URL precedence
+    (longest matching prefix wins, Allow wins length ties) is applied by
+    ``robots_filter`` / ``robots_decision``."""
     if not body:
-        return []
-    groups: list[tuple[list[str], list[str]]] = []  # (agents, disallows)
+        return [], []
+    # (agents, disallows, allows)
+    groups: list[tuple[list[str], list[str], list[str]]] = []
     cur_agents: list[str] = []
-    cur_rules: list[str] = []
+    cur_dis: list[str] = []
+    cur_allow: list[str] = []
     in_agents = True
     for raw in body.splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -53,23 +62,44 @@ def parse_robots(body: str | None, agent: str = "newscrawl") -> list[str]:
         val = val.strip()
         if key == "user-agent":
             if not in_agents:
-                groups.append((cur_agents, cur_rules))
-                cur_agents, cur_rules = [], []
+                groups.append((cur_agents, cur_dis, cur_allow))
+                cur_agents, cur_dis, cur_allow = [], [], []
             in_agents = True
             cur_agents.append(val.lower())
-        elif key == "disallow":
+        else:
+            # RFC 9309: any rule line (recognized or not) ends the
+            # agent-run — matches parse_crawl_delay's boundary rule
             in_agents = False
-            if val:
-                cur_rules.append(val)
-        elif key == "allow":
-            in_agents = False  # group boundary tracking only
+            if key == "disallow" and val:
+                cur_dis.append(val)
+            elif key == "allow" and val:
+                cur_allow.append(val)
     if cur_agents:
-        groups.append((cur_agents, cur_rules))
+        groups.append((cur_agents, cur_dis, cur_allow))
     agent = agent.lower()
-    exact = [r for agents, rules in groups if agent in agents for r in rules]
-    if any(agent in agents for agents, _ in groups):
-        return exact
-    return [r for agents, rules in groups if "*" in agents for r in rules]
+    if any(agent in agents for agents, _d, _a in groups):
+        pick = [g for g in groups if agent in g[0]]
+    else:
+        pick = [g for g in groups if "*" in g[0]]
+    return (
+        [r for _a, dis, _al in pick for r in dis],
+        [r for _a, _d, allow in pick for r in allow],
+    )
+
+
+def parse_robots(body: str | None, agent: str = "newscrawl") -> list[str]:
+    """Disallow prefixes only (back-compat view of parse_robots_rules)."""
+    return parse_robots_rules(body, agent)[0]
+
+
+def robots_decision(path: str, disallow: list[str], allow: list[str]) -> bool:
+    """Pure-Python spec of the per-URL RFC 9309 decision (the Spark
+    filter in robots_filter mirrors this exactly; tests diff the two):
+    among all matching prefixes, the LONGEST wins; an Allow rule wins a
+    length tie; no matching rule -> allowed."""
+    d = max((len(r) for r in disallow if path.startswith(r)), default=-1)
+    a = max((len(r) for r in allow if path.startswith(r)), default=-1)
+    return d == -1 or a >= d
 
 
 def parse_crawl_delay(body: str | None, agent: str = "newscrawl") -> float | None:
@@ -148,7 +178,7 @@ def host_budgets_from_robots(
 
 
 def build_robots_table(bodies: DataFrame, agent: str = "newscrawl") -> DataFrame:
-    """(host, body string) -> ROBOTS(host, disallow array<string>): the
+    """(host, body string) -> ROBOTS(host, disallow, allow): the
     distributed robots cache build. Bodies come from fetching each
     host's /robots.txt (in this engine: rows of the page corpus);
     parsing runs vectorized in one Arrow kernel. The output is
@@ -160,30 +190,53 @@ def build_robots_table(bodies: DataFrame, agent: str = "newscrawl") -> DataFrame
 
     def kernel(batch_iter):
         for pdf in batch_iter:
+            rules = [parse_robots_rules(b, agent) for b in pdf["body"]]
             out = pd.DataFrame({"host": pdf["host"]})
-            out["disallow"] = [parse_robots(b, agent) for b in pdf["body"]]
+            out["disallow"] = [d for d, _a in rules]
+            out["allow"] = [a for _d, a in rules]
             yield out
 
     return bodies.select("host", "body").mapInPandas(
-        kernel, schema="host string, disallow array<string>"
+        kernel, schema="host string, disallow array<string>, allow array<string>"
     )
 
 
 def robots_filter(candidates: DataFrame, robots: DataFrame | None) -> DataFrame:
-    """Drop candidates whose url path starts with a disallowed prefix for
-    its host. ``robots(host, disallow array<string>)`` is broadcast (it is
-    host-cardinality, small). Hosts absent from the table are allowed.
-    Disallowed urls are dropped permanently (not carried/retried)."""
+    """RFC 9309 per-url gate: among all rule prefixes matching the url
+    path, the LONGEST wins; an ``Allow`` rule wins a length tie; no
+    matching rule -> allowed. ``robots(host, disallow, allow)`` is
+    broadcast (host-cardinality, small); an ``allow`` column is optional
+    for back-compat (absent = no Allow rules). Hosts absent from the
+    table are allowed. Disallowed urls are dropped permanently (not
+    carried/retried). Entirely JVM-side higher-order functions — no
+    Python in the per-candidate path. Spec twin: ``robots_decision``."""
     if robots is None:
         return candidates
+    if "allow" not in robots.columns:
+        robots = robots.withColumn("allow", F.lit(None).cast("array<string>"))
     df = candidates if "host" in candidates.columns else with_host(candidates)
     df = df.withColumn("_path", F.regexp_replace("url", HOST_RE, ""))
     joined = df.join(F.broadcast(robots), "host", "left")
+
+    def longest_match(col: str):
+        # max length over matching prefixes; -1 when none match
+        return F.coalesce(
+            F.array_max(
+                F.transform(
+                    F.coalesce(F.col(col), F.array()),
+                    lambda r: F.when(
+                        F.col("_path").startswith(r), F.length(r)
+                    ).otherwise(F.lit(-1)),
+                )
+            ),
+            F.lit(-1),
+        )
+
     allowed = joined.filter(
-        F.col("disallow").isNull()
-        | ~F.exists("disallow", lambda d: F.col("_path").startswith(d))
+        (longest_match("disallow") == -1)
+        | (longest_match("allow") >= longest_match("disallow"))
     )
-    return allowed.drop("disallow", "_path")
+    return allowed.drop("disallow", "allow", "_path")
 
 
 def budget_gate(

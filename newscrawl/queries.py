@@ -1207,7 +1207,18 @@ WHERE CASE w {_ENTITY_CASE} END IS NOT NULL
 """
 
 
-N_GEMM_BLOCKS = 8
+# Target rows per GEMM block: a block is one side of a per-task numpy
+# matmul, so per-task memory is ~2 * BLOCK_TARGET_ROWS * dim * 8 bytes
+# regardless of corpus size. B = ceil(n / target) keeps that bound at
+# any sf; the floor of 8 preserves shuffle-group parallelism at tiny sf.
+GEMM_BLOCK_TARGET_ROWS = 65536
+GEMM_MIN_BLOCKS = 8
+
+
+def _gemm_block_count(n_rows: int) -> int:
+    import math
+
+    return max(GEMM_MIN_BLOCKS, math.ceil(max(n_rows, 1) / GEMM_BLOCK_TARGET_ROWS))
 
 
 def q_embedding_near_dup(spark, sf_dir):
@@ -1226,15 +1237,17 @@ def q_embedding_near_dup(spark, sf_dir):
     import numpy as np
     import pandas as pd
 
-    emb = (
-        _t(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding")
-        .withColumn(
-            "_blk", F.pmod(F.xxhash64("vec_id"), F.lit(N_GEMM_BLOCKS)).cast("int")
-        )
+    base = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # One cheap count() sizes the block grid so per-task memory stays
+    # bounded at any sf (VERDICT r2 item 6). At 100 TB the count is a
+    # metadata-only parquet scan; the pair table stays tiny (B(B+1)/2
+    # rows) and broadcastable for any realistic B.
+    n_blocks = _gemm_block_count(base.count())
+    emb = base.withColumn(
+        "_blk", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)).cast("int")
     )
     pairs = spark.createDataFrame(
-        [(i, j) for i in range(N_GEMM_BLOCKS) for j in range(i, N_GEMM_BLOCKS)],
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
         "bi int, bj int",
     )
     lhs = emb.join(F.broadcast(pairs), F.col("_blk") == F.col("bi")).withColumn(
@@ -1263,7 +1276,11 @@ def q_embedding_near_dup(spark, sf_dir):
 
     def gemm(pdf: pd.DataFrame) -> pd.DataFrame:
         a_ids, a = _mat(pdf[pdf["side"] == 0])
-        diagonal = not (pdf["side"] == 1).any()
+        # Decide diagonal from the grouping columns, NOT from side-1
+        # presence: an off-diagonal group whose bj block is empty also
+        # has no side-1 rows and must emit nothing, not recompute bi's
+        # self-pairs (would duplicate the (bi,bi) group's output).
+        diagonal = pdf["bi"].iat[0] == pdf["bj"].iat[0]
         if diagonal:
             b_ids, b = a_ids, a
         else:
@@ -1642,7 +1659,14 @@ def q_kmeans_step(spark, sf_dir):
             "bucket", F.posexplode("embedding").alias("dim", "val")
         )
         .groupBy("bucket", "dim")
-        .agg(F.round(F.avg(F.col("val").cast("double")), 4).alias("centroid"))
+        # + 0.0 normalizes signed zero (IEEE: -0.0 + 0.0 = +0.0) — the
+        # driver hashes string representations and DuckDB/Spark disagree
+        # on -0.0 vs +0.0 for zero-mean cells.
+        .agg(
+            (F.round(F.avg(F.col("val").cast("double")), 4) + F.lit(0.0)).alias(
+                "centroid"
+            )
+        )
     )
 
 
@@ -1663,7 +1687,7 @@ WITH e AS (
              c.cent_id
   ) = 1
 )
-SELECT bucket, d.dim, round(avg(v[d.dim + 1]), 4) AS centroid
+SELECT bucket, d.dim, round(avg(v[d.dim + 1]), 4) + 0.0 AS centroid
 FROM assigned, (SELECT unnest(range(64)) AS dim) d
 GROUP BY bucket, d.dim
 """
@@ -1840,36 +1864,104 @@ FROM agg
 
 
 def q_summary_gate(spark, sf_dir):
-    """Summary stage with the reference's exact gate (classifier.py:
-    232-235, summarizer.py:141-143): <=200 chars passes through, longer
-    texts reduce to the first 48 whitespace tokens (the deterministic
-    smart_summarize stand-in, extract.summarize)."""
-    from .extract import SUMMARY_GATE_CHARS, SUMMARY_TOKENS
+    """Summary stage with the reference's exact gate AND its recursive
+    re-summarize fixpoint (classifier.py:232-235, summarizer.py:141-219):
+    <=200 chars passes through; longer texts are chunked, each chunk
+    'summarized' to its prefix, rejoined, and the loop repeats while the
+    result exceeds the token bound — the reference's
+    `if tokens(result) > 512: smart_summarize(result)` recursion with a
+    deterministic prefix model (extract.summarize_iters is the shared
+    scalar spec). Spark side: the data-dependent loop unrolls STATICALLY
+    to a depth derived from one scalar agg (max token count; each pass
+    shrinks n -> S*ceil(n/C), so depth is O(log n) — 3 passes covers a
+    billion-token document), every pass a JVM higher-order filter guarded
+    per-row, so the whole fixpoint is one scan, zero shuffles, zero
+    Python."""
+    import math
+
+    from .extract import (
+        SUMMARY_CHUNK_TOKENS,
+        SUMMARY_GATE_CHARS,
+        SUMMARY_TOKEN_BOUND,
+        SUMMARY_TOKENS_PER_CHUNK,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     trimmed = F.trim(F.col("text"))
-    prefix = F.concat_ws(
-        " ", F.slice(F.split(trimmed, r"\s+"), 1, SUMMARY_TOKENS)
-    )
-    gate = F.length(trimmed) <= SUMMARY_GATE_CHARS
-    return docs.select(
+    df = docs.select(
         "doc_id",
-        F.when(gate, trimmed).otherwise(prefix).alias("summary"),
-        (~gate).alias("is_summarized"),
+        trimmed.alias("t"),
+        F.split(trimmed, r"\s+").alias("toks"),
+        (F.length(trimmed) <= SUMMARY_GATE_CHARS).alias("gated"),
+        F.lit(0).alias("n_refine_iters"),
+    )
+    max_n = df.agg(F.max(F.size("toks"))).first()[0] or 1
+    depth, n = 1, SUMMARY_TOKENS_PER_CHUNK * math.ceil(max_n / SUMMARY_CHUNK_TOKENS)
+    while n > SUMMARY_TOKEN_BOUND:
+        n = SUMMARY_TOKENS_PER_CHUNK * math.ceil(n / SUMMARY_CHUNK_TOKENS)
+        depth += 1
+    for k in range(1, depth + 1):
+        # pass 1 is unconditional for non-gated rows (the reference
+        # always summarizes a >gate text once); later passes fire only
+        # while the row is still over the bound
+        apply_ = ~F.col("gated") & (
+            F.lit(k == 1) | (F.size("toks") > SUMMARY_TOKEN_BOUND)
+        )
+        compressed = F.filter(
+            "toks",
+            lambda x, i: (i % SUMMARY_CHUNK_TOKENS) < SUMMARY_TOKENS_PER_CHUNK,
+        )
+        df = df.withColumn(
+            "toks", F.when(apply_, compressed).otherwise(F.col("toks"))
+        ).withColumn(
+            "n_refine_iters",
+            F.when(apply_, F.col("n_refine_iters") + 1).otherwise(
+                F.col("n_refine_iters")
+            ),
+        )
+    return df.select(
+        "doc_id",
+        F.when(F.col("gated"), F.col("t"))
+        .otherwise(F.array_join("toks", " "))
+        .alias("summary"),
+        (~F.col("gated")).alias("is_summarized"),
+        "n_refine_iters",
     )
 
 
 def _sql_summary_gate() -> str:
-    from .extract import SUMMARY_GATE_CHARS, SUMMARY_TOKENS
+    from .extract import (
+        SUMMARY_CHUNK_TOKENS,
+        SUMMARY_GATE_CHARS,
+        SUMMARY_TOKEN_BOUND,
+        SUMMARY_TOKENS_PER_CHUNK,
+    )
 
+    # the same fixpoint as a recursive CTE (DuckDB lambdas index 1-based)
     return f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, trim(text) AS t FROM documents
+), steps AS (
+  SELECT doc_id, t,
+         string_split_regex(t, '\\s+') AS toks,
+         0 AS it,
+         length(t) <= {SUMMARY_GATE_CHARS} AS gated
+  FROM base
+  UNION ALL
+  SELECT doc_id, t,
+         list_filter(toks, (x, i) ->
+           ((i - 1) % {SUMMARY_CHUNK_TOKENS}) < {SUMMARY_TOKENS_PER_CHUNK}),
+         it + 1,
+         gated
+  FROM steps
+  WHERE NOT gated AND (it = 0 OR len(toks) > {SUMMARY_TOKEN_BOUND})
+)
 SELECT doc_id,
-       CASE WHEN length(trim(text)) <= {SUMMARY_GATE_CHARS} THEN trim(text)
-            ELSE array_to_string(
-                   (string_split_regex(trim(text), '\\s+'))[1:{SUMMARY_TOKENS}], ' ')
-       END AS summary,
-       length(trim(text)) > {SUMMARY_GATE_CHARS} AS is_summarized
-FROM documents
+       CASE WHEN gated THEN t ELSE array_to_string(toks, ' ') END AS summary,
+       NOT gated AS is_summarized,
+       CAST(it AS INT) AS n_refine_iters
+FROM steps
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY it DESC) = 1
 """
 
 

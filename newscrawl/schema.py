@@ -149,5 +149,8 @@ ROBOTS = T.StructType(
     [
         T.StructField("host", T.StringType(), False),
         T.StructField("disallow", T.ArrayType(T.StringType()), True),
+        # RFC 9309 Allow rules; per-url precedence = longest matching
+        # prefix wins, Allow wins length ties (politeness.robots_filter)
+        T.StructField("allow", T.ArrayType(T.StringType()), True),
     ]
 )

@@ -364,8 +364,12 @@ def run_wave(
                 # logical clock (epoch + wave_index + 1 seconds —
                 # deterministic, monotone). greatest() keeps any newer
                 # caller-seeded timestamp; budgets/scores carry over.
+                # Derived from the FETCHED set (extracted), not the
+                # yielded filter: a host whose pages were all too short
+                # was still hit this wave and must lose recency priority
+                # (the politeness signal the idle key encodes).
                 fetched_hosts = (
-                    politeness.with_host(yielded.select("url"))
+                    politeness.with_host(extracted.select("url"))
                     .select("host")
                     .distinct()
                     .withColumn(

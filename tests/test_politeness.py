@@ -58,7 +58,8 @@ def test_budget_gate_respects_sort_key_priority(spark):
 def test_robots_filter(spark):
     df = _frontier(spark, n=40)
     robots = spark.createDataFrame(
-        [("h0.example.com", ["/s/"]), ("h1.example.com", ["/other/"])], schema=ROBOTS
+        [("h0.example.com", ["/s/"], []), ("h1.example.com", ["/other/"], [])],
+        schema=ROBOTS,
     )
     out = politeness.robots_filter(df, robots).collect()
     assert all(not r.url.startswith("https://h0.example.com/") for r in out)
@@ -123,7 +124,9 @@ def test_crawl_with_robots_blocks_host(spark, tmp_path):
     """Full crawl with a robots rule: the disallowed host never enters
     the seen set; everything else matches the unrestricted crawl."""
     cfg = synth.SynthConfig()
-    robots = spark.createDataFrame([("bbc.example.com", ["/news/"])], schema=ROBOTS)
+    robots = spark.createDataFrame(
+        [("bbc.example.com", ["/news/"], [])], schema=ROBOTS
+    )
     cat = ManifestParquetCatalog(str(tmp_path / "rob"))
     wave.run_crawl(spark, cat, cfg, n_waves=2, robots=robots)
     seen_urls = [r.url for r in wave.read_seen(spark, cat).collect()]
@@ -293,3 +296,93 @@ def test_budget_gate_per_host_table(spark):
     ku = {r.url for r in kept.collect()}
     du = {r.url for r in deferred.collect()}
     assert ku | du == {r[0] for r in rows} and not (ku & du)
+
+
+# ---------------------------------------------------------------------------
+# RFC 9309 Allow rules + longest-match precedence (VERDICT r2 item 3)
+# ---------------------------------------------------------------------------
+
+RFC_BODY = """
+User-agent: *
+Disallow: /
+Allow: /news/
+Allow: /a
+Disallow: /a/private
+User-agent: quiet
+Crawl-delay: 2
+User-agent: loud
+Disallow: /loud-only
+"""
+
+
+def test_parse_robots_rules_allow_and_agent_run_boundary():
+    from newscrawl.politeness import parse_robots_rules
+
+    dis, allow = parse_robots_rules(RFC_BODY, agent="anyone")
+    assert dis == ["/", "/a/private"]
+    assert allow == ["/news/", "/a"]
+    # Crawl-delay ends the 'quiet' agent-run: 'loud' starts a NEW group,
+    # so quiet does NOT inherit /loud-only (RFC 9309 run boundary)
+    dis_q, allow_q = parse_robots_rules(RFC_BODY, agent="quiet")
+    assert dis_q == [] and allow_q == []
+    dis_l, _ = parse_robots_rules(RFC_BODY, agent="loud")
+    assert dis_l == ["/loud-only"]
+
+
+def test_robots_decision_longest_match_allow_wins_ties():
+    from newscrawl.politeness import robots_decision
+
+    dis, allow = ["/", "/a/private"], ["/news/", "/a"]
+    assert not robots_decision("/x", dis, allow)          # Disallow: / wins
+    assert robots_decision("/news/story", dis, allow)     # Allow longer
+    assert robots_decision("/a/ok", dis, allow)           # /a (2) > / (1)
+    assert not robots_decision("/a/private/x", dis, allow)  # longest is Disallow
+    assert robots_decision("/anything", [], [])           # no rules -> allowed
+    # exact length tie -> Allow wins
+    assert robots_decision("/tie/x", ["/tie/"], ["/tie/"])
+
+
+def test_robots_filter_matches_decision_spec(spark):
+    """The Spark higher-order-function filter must equal the pure-Python
+    robots_decision spec on an overlapping Allow/Disallow table."""
+    from newscrawl.politeness import build_robots_table, robots_decision, robots_filter
+
+    bodies = spark.createDataFrame(
+        [
+            ("r.example.com", RFC_BODY),
+            ("open.example.com", "User-agent: *\nDisallow:"),
+        ],
+        "host string, body string",
+    )
+    robots = build_robots_table(bodies)
+    rules = {r.host: (list(r.disallow), list(r.allow)) for r in robots.collect()}
+    paths = ["/x", "/news/story", "/a/ok", "/a/private/x", "/", "/news"]
+    urls = [f"https://{h}{p}" for h in list(rules) + ["nf.example.com"] for p in paths]
+    cands = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {r.url for r in robots_filter(cands, robots).collect()}
+    want = set()
+    for u in urls:
+        host = u.split("/")[2]
+        path = u[len("https://") + len(host):]
+        dis, allow = rules.get(host, ([], []))
+        if robots_decision(path, dis, allow):
+            want.add(u)
+    assert got == want
+    # sanity on the headline RFC case: Disallow:/ + Allow:/news/
+    assert "https://r.example.com/news/story" in got
+    assert "https://r.example.com/x" not in got
+
+
+def test_robots_filter_backcompat_disallow_only_table(spark):
+    from newscrawl.politeness import robots_filter
+
+    robots = spark.createDataFrame(
+        [("h.example.com", ["/s/"])], "host string, disallow array<string>"
+    )
+    cands = spark.createDataFrame(
+        [("https://h.example.com/s/x",), ("https://h.example.com/ok",)],
+        "url string",
+    )
+    assert {r.url for r in robots_filter(cands, robots).collect()} == {
+        "https://h.example.com/ok"
+    }
