@@ -90,6 +90,22 @@ def media_features(media: DataFrame) -> DataFrame:
     )
 
 
+def with_resize_plan(feats: DataFrame, max_side: int = 256) -> DataFrame:
+    """Append resize-planning columns (aspect-preserving, longest side
+    clamped to ``max_side``, never upscaled) to an existing features
+    frame — all JVM-side, no second decode pass."""
+    w, h = F.col("width"), F.col("height")
+    longest = F.greatest(w, h)
+    scale = F.when(longest > max_side, F.lit(max_side) / longest).otherwise(
+        F.lit(1.0)
+    )
+    return (
+        feats.withColumn("target_width", F.floor(w * scale).cast("int"))
+        .withColumn("target_height", F.floor(h * scale).cast("int"))
+        .withColumn("needs_resize", scale < 1.0)
+    )
+
+
 def resize_specs(media: DataFrame, max_side: int = 256) -> DataFrame:
     """Resize plumbing: compute each image's target dimensions
     (aspect-preserving, longest side clamped to ``max_side``, never
@@ -97,21 +113,49 @@ def resize_specs(media: DataFrame, max_side: int = 256) -> DataFrame:
     The actual pixel resample belongs in the stubbed decode kernel;
     this is the planning half a real pipeline runs first so it can
     skip no-op resizes and size its output buffers."""
-    feats = media_features(media)
-    w, h = F.col("width"), F.col("height")
-    longest = F.greatest(w, h)
-    scale = F.when(longest > max_side, F.lit(max_side) / longest).otherwise(
-        F.lit(1.0)
-    )
-    return feats.select(
+    return with_resize_plan(media_features(media), max_side).select(
         "media_id",
         "media_type",
         "width",
         "height",
-        F.floor(w * scale).cast("int").alias("target_width"),
-        F.floor(h * scale).cast("int").alias("target_height"),
-        (scale < 1.0).alias("needs_resize"),
+        "target_width",
+        "target_height",
+        "needs_resize",
     )
+
+
+# url extension -> media_type for the wave-level media path; anything
+# else is an opaque page snapshot (still feature-extracted — the binary
+# plumbing is type-agnostic by design)
+_EXT_TYPES = (
+    (r"\.(jpe?g|png|gif|webp)$", "image"),
+    (r"\.(mp3|wav|ogg|flac)$", "audio"),
+    (r"\.(mp4|webm|mkv|avi)$", "video"),
+)
+
+
+def media_type_from_url(url_col) -> "F.Column":
+    expr = F.lit("page")
+    for pat, mtype in reversed(_EXT_TYPES):
+        expr = F.when(F.lower(url_col).rlike(pat), F.lit(mtype)).otherwise(expr)
+    return expr
+
+
+def page_media_features(
+    fetched: DataFrame, max_side: int = 256
+) -> DataFrame:
+    """Wave-level multimodal path: treat each fetched page's raw bytes
+    as an opaque media payload -> typed features + resize plan, one
+    Arrow kernel pass, payload dropped before anything shuffles (the
+    same never-move-raw-bytes rule as html extraction). Input needs
+    (url, html); output is MEDIA_FEATURES minus wave_id."""
+    media = fetched.select(
+        "url",
+        F.xxhash64("url").alias("media_id"),
+        media_type_from_url(F.col("url")).alias("media_type"),
+        F.col("html").alias("payload"),
+    )
+    return with_resize_plan(media_features(media), max_side)
 
 
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:

@@ -1693,6 +1693,223 @@ GROUP BY bucket, d.dim
 """
 
 
+# Full Lloyd training loop: N_KMEANS_ITERS fixed iterations (fixed for
+# determinism — production would add a movement-threshold stop). Each
+# iterate is QUANTIZED (round 4 + signed-zero normalize) so the two
+# engines cannot drift across iterations, and empty clusters keep their
+# previous centroid (both classic Lloyd choices).
+N_KMEANS_ITERS = 3
+EMB_DIM = 64
+KMEANS_K = 8
+
+
+def _vec_dot(u, v):
+    return F.aggregate(
+        F.zip_with(u, v, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign_to_centroids(emb, cents_df):
+    """argmax-cosine bucket assignment: broadcast K centroids, rank by
+    round(cos,6) desc with cent_id tie-break (the shared shape of
+    kmeans_step / knn_ivf / the training loop)."""
+    cos = _vec_dot(F.col("embedding"), F.col("cvec")) / (
+        F.sqrt(_vec_dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(_vec_dot(F.col("cvec"), F.col("cvec")))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.round(cos, 6).desc(), F.col("cent_id"))
+    return (
+        emb.crossJoin(F.broadcast(cents_df))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "embedding", F.col("cent_id").alias("bucket"))
+    )
+
+
+def _kmeans_train_centroids(spark, sf_dir, n_iters=N_KMEANS_ITERS):
+    """Distributed Lloyd iterations with the canonical driver sync: the
+    assignment and the per-(bucket,dim) mean run as Spark jobs; only the
+    K x dim centroid matrix (512 doubles — bounded regardless of corpus
+    size, same shape as Spark MLlib's KMeans) crosses to the driver
+    between iterations. Returns {cent_id: [dim values]}. Seeds are
+    vec_id 1..K quantized exactly like every later iterate."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seed = (
+        emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= KMEANS_K))
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.posexplode("embedding").alias("dim", "val"),
+        )
+        .select(
+            "cent_id",
+            "dim",
+            (F.round(F.col("val").cast("double"), 4) + F.lit(0.0)).alias("val"),
+        )
+    )
+    cents: dict[int, list[float]] = {}
+    for r in seed.collect():
+        cents.setdefault(int(r.cent_id), [0.0] * EMB_DIM)[r.dim] = r.val
+    for _ in range(n_iters):
+        cents_df = spark.createDataFrame(
+            [(cid, vals) for cid, vals in sorted(cents.items())],
+            "cent_id long, cvec array<double>",
+        )
+        assigned = _assign_to_centroids(emb, cents_df)
+        means = (
+            assigned.select("bucket", F.posexplode("embedding").alias("dim", "val"))
+            .groupBy("bucket", "dim")
+            .agg(
+                (F.round(F.avg(F.col("val").cast("double")), 4) + F.lit(0.0)).alias(
+                    "centroid"
+                )
+            )
+        )
+        got = {(int(r.bucket), r.dim): r.centroid for r in means.collect()}
+        cents = {
+            cid: [got.get((cid, d), vals[d]) for d in range(EMB_DIM)]
+            for cid, vals in cents.items()
+        }
+    return cents
+
+
+def q_kmeans_train(spark, sf_dir):
+    """k-means training to a fixed iteration count (the IVF index build
+    closed end-to-end — q_kmeans_step is one link of this chain). Output
+    exploded (bucket, dim, centroid) like kmeans_step so the oracle
+    compares scalars."""
+    cents = _kmeans_train_centroids(spark, sf_dir)
+    rows = [
+        (cid, d, vals[d]) for cid, vals in sorted(cents.items()) for d in range(EMB_DIM)
+    ]
+    return spark.createDataFrame(rows, "bucket long, dim int, centroid double")
+
+
+def _sql_kmeans_train(n_iters: int = N_KMEANS_ITERS) -> str:
+    """The identical fixed-iteration Lloyd loop unrolled as CTEs (one
+    assign + one mean + one carry-empty-clusters step per iteration)."""
+    sql = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), c0 AS (
+  SELECT vec_id AS cent_id, d.dim, round(v[d.dim + 1], 4) + 0.0 AS val
+  FROM e, (SELECT unnest(range({EMB_DIM})) AS dim) d
+  WHERE vec_id BETWEEN 1 AND {KMEANS_K}
+)"""
+    for t in range(1, n_iters + 1):
+        sql += f""", cl{t - 1} AS (
+  SELECT cent_id, list(val ORDER BY dim) AS cvec FROM c{t - 1} GROUP BY cent_id
+), a{t} AS (
+  SELECT e.vec_id, e.v, c.cent_id AS bucket
+  FROM e CROSS JOIN cl{t - 1} c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id
+    ORDER BY round(list_dot_product(e.v, c.cvec)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(c.cvec, c.cvec))), 6) DESC,
+             c.cent_id
+  ) = 1
+), m{t} AS (
+  SELECT bucket, d.dim, round(avg(v[d.dim + 1]), 4) + 0.0 AS val
+  FROM a{t}, (SELECT unnest(range({EMB_DIM})) AS dim) d
+  GROUP BY bucket, d.dim
+), c{t} AS (
+  SELECT p.cent_id, p.dim, coalesce(m.val, p.val) AS val
+  FROM c{t - 1} p LEFT JOIN m{t} m ON m.bucket = p.cent_id AND m.dim = p.dim
+)"""
+    sql += f"""
+SELECT cent_id AS bucket, dim, val AS centroid FROM c{n_iters}
+"""
+    return sql
+
+
+SQL_KMEANS_TRAIN = _sql_kmeans_train()
+
+
+def q_knn_ivf_trained(spark, sf_dir):
+    """IVF search over TRAINED centroids (q_kmeans_train's output)
+    instead of the raw seed vectors — the production index build feeding
+    the production search. Same bucket-local brute force as q_knn_ivf."""
+    cents = _kmeans_train_centroids(spark, sf_dir)
+    cents_df = spark.createDataFrame(
+        [(cid, vals) for cid, vals in sorted(cents.items())],
+        "cent_id long, cvec array<double>",
+    )
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned = _assign_to_centroids(emb, cents_df)
+    qrow = emb.filter(F.col("vec_id") == 0).head()
+    qlit = F.array(*[F.lit(float(x)) for x in qrow["embedding"]])
+    qbucket = assigned.filter(F.col("vec_id") == 0).select("bucket").head()["bucket"]
+    qcos = _vec_dot(F.col("embedding"), qlit) / (
+        F.sqrt(_vec_dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(_vec_dot(qlit, qlit))
+    )
+    return (
+        assigned.filter((F.col("bucket") == qbucket) & (F.col("vec_id") != 0))
+        .select("vec_id", qcos.alias("cos_raw"))
+        .orderBy(F.round("cos_raw", 6).desc(), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("cos_raw", 4).alias("cosine"))
+    )
+
+
+def _sql_knn_ivf_trained() -> str:
+    train = _sql_kmeans_train().strip()
+    # reuse the unrolled training CTE chain, then search the query bucket
+    body = train[len("WITH ") :].rsplit("\nSELECT", 1)[0]
+    return f"""
+WITH {body}, cents AS (
+  SELECT cent_id, list(val ORDER BY dim) AS cvec
+  FROM c{N_KMEANS_ITERS} GROUP BY cent_id
+), assigned AS (
+  SELECT e.vec_id, e.v, c.cent_id AS bucket
+  FROM e CROSS JOIN cents c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id
+    ORDER BY round(list_dot_product(e.v, c.cvec)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(c.cvec, c.cvec))), 6) DESC,
+             c.cent_id
+  ) = 1
+), q AS (
+  SELECT v AS qv, (SELECT bucket FROM assigned WHERE vec_id = 0) AS qb
+  FROM e WHERE vec_id = 0
+)
+SELECT vec_id,
+       round(list_dot_product(a.v, q.qv)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+             4) AS cosine
+FROM assigned a, q
+WHERE a.bucket = q.qb AND a.vec_id <> 0
+ORDER BY round(list_dot_product(a.v, q.qv)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+               6) DESC, vec_id
+LIMIT 10
+"""
+
+
+SQL_KNN_IVF_TRAINED = _sql_knn_ivf_trained()
+
+
+def q_knn_recall_trained(spark, sf_dir):
+    """recall@10 of the trained-centroid IVF vs brute force — reported
+    alongside knn_recall (seed centroids) so index quality before/after
+    training is a measured pair."""
+    brute = q_knn_cosine(spark, sf_dir).select("vec_id")
+    ivf = q_knn_ivf_trained(spark, sf_dir).select("vec_id")
+    return brute.join(ivf, "vec_id").agg(
+        F.round(F.count("*") / 10.0, 2).alias("recall_at_10")
+    )
+
+
+SQL_KNN_RECALL_TRAINED = f"""
+SELECT round(count(*) / 10.0, 2) AS recall_at_10
+FROM ({SQL_KNN_COSINE}) b JOIN ({SQL_KNN_IVF_TRAINED}) i USING (vec_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Classify-stage operators (reference classifier.py:232-318): topic +
 # sentiment assignment via the deterministic lexicons shared with the
@@ -2065,6 +2282,9 @@ QUERIES = {
     "article_entities": (q_article_entities, SQL_ARTICLE_ENTITIES),
     "token_count_bpe": (q_token_count_bpe, SQL_TOKEN_COUNT_BPE),
     "kmeans_step": (q_kmeans_step, SQL_KMEANS_STEP),
+    "kmeans_train": (q_kmeans_train, SQL_KMEANS_TRAIN),
+    "knn_ivf_trained": (q_knn_ivf_trained, SQL_KNN_IVF_TRAINED),
+    "knn_recall_trained": (q_knn_recall_trained, SQL_KNN_RECALL_TRAINED),
     "knn_label_majority": (q_knn_label_majority, SQL_KNN_LABEL_MAJORITY),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     "knn_recall": (q_knn_recall, SQL_KNN_RECALL),

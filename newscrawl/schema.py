@@ -110,6 +110,26 @@ WAVE_METRICS = T.StructType(
     ]
 )
 
+# Optional per-wave multimodal sink (multimodal.page_media_features):
+# typed features + resize plan over the fetched pages' raw payloads;
+# the payload itself is never persisted (same rule as html).
+MEDIA_FEATURES = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("sha256_16", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("decode_ok", T.BooleanType(), True),
+        T.StructField("target_width", T.IntegerType(), True),
+        T.StructField("target_height", T.IntegerType(), True),
+        T.StructField("needs_resize", T.BooleanType(), True),
+        T.StructField("wave_id", T.StringType(), False),
+    ]
+)
+
 # Sharded bloom-filter seen-set accelerator (SURVEY.md §4 item 1).
 BLOOM_SHARDS = T.StructType(
     [

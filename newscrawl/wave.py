@@ -34,13 +34,23 @@ import time
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import extract as ex
-from . import bucketing, canonicalize, politeness, priority, seenset, synth, webhook
+from . import (
+    bucketing,
+    canonicalize,
+    multimodal,
+    politeness,
+    priority,
+    seenset,
+    synth,
+    webhook,
+)
 from .reference_oracle import wave_id_for
 from .schema import (
     ARTICLES,
     BLOOM_SHARDS,
     FRONTIER,
     HOST_STATE,
+    MEDIA_FEATURES,
     SEEN,
     WAVE_METRICS,
 )
@@ -90,9 +100,18 @@ def run_wave(
     pages_table: str | None = None,
     fetch_buckets: int = 32,
     enrich_fn=None,
+    media_sink: bool = False,
+    media_max_side: int = 256,
 ) -> dict:
     """One crawl wave. ``enrich_fn`` swaps the deterministic classify
     stand-in for real model inference (see extract.make_extract_kernel).
+
+    ``media_sink=True`` adds the wave-level multimodal path: the fetched
+    pages' raw payloads run through the typed-feature + resize-plan
+    kernel (multimodal.page_media_features) and commit as a
+    ``media_features`` table alongside the other state. It costs one
+    extra pass over the fetched slice (the extract kernel drops the
+    bytes, so media needs its own scan) — payloads are never persisted.
     ``scheduler`` picks the candidate ordering:
 
     - ``"reference"`` (default): the reference's total order
@@ -393,6 +412,18 @@ def run_wave(
                 )
             else:
                 f_hosts = None
+            f_media = (
+                pool.submit(
+                    commit.write,
+                    "media_features",
+                    multimodal.page_media_features(fetched, media_max_side)
+                    .withColumn("wave_id", F.lit(wid))
+                    .coalesce(n_out),
+                    "append",
+                )
+                if media_sink
+                else None
+            )
             f_bloom = (
                 pool.submit(
                     lambda: seenset.build_bloom_rows(seen_delta).collect()
@@ -409,6 +440,8 @@ def run_wave(
                 f_webhook.result()
             if f_hosts is not None:
                 f_hosts.result()
+            if f_media is not None:
+                f_media.result()
             bloom_delta_rows = f_bloom.result() if f_bloom is not None else None
         tick("parallel writes+stats")
 
@@ -498,6 +531,7 @@ def run_crawl(
     pages_table: str | None = None,
     fetch_buckets: int = 32,
     enrich_fn=None,
+    media_sink: bool = False,
 ) -> list[dict]:
     """Run (or resume) a crawl. Already-committed waves are skipped —
     replaying is a no-op, which is the resume/idempotence guarantee."""
@@ -525,6 +559,7 @@ def run_crawl(
                 pages_table=pages_table,
                 fetch_buckets=fetch_buckets,
                 enrich_fn=enrich_fn,
+                media_sink=media_sink,
             )
         )
     return out
@@ -536,6 +571,10 @@ def read_articles(spark: SparkSession, catalog: ManifestParquetCatalog) -> DataF
 
 def read_seen(spark: SparkSession, catalog: ManifestParquetCatalog) -> DataFrame:
     return catalog.read(spark, "seen", SEEN)
+
+
+def read_media(spark: SparkSession, catalog: ManifestParquetCatalog) -> DataFrame:
+    return catalog.read(spark, "media_features", MEDIA_FEATURES)
 
 
 def crawl_order(spark: SparkSession, catalog: ManifestParquetCatalog) -> list[tuple[str, str]]:

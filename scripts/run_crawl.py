@@ -40,6 +40,12 @@ def main() -> None:
         "(budget tier, host idle time, news score) priority queue with "
         "persisted host_state recency",
     )
+    ap.add_argument(
+        "--media-sink",
+        action="store_true",
+        help="commit a per-wave media_features table (typed features + "
+        "resize plan over the fetched payloads; payloads never persisted)",
+    )
     ap.add_argument("--synth-seed", type=int, default=8, help="synthetic seeds per section (when no --pages)")
     ap.add_argument("--synth-total", type=int, default=240, help="synthetic universe per section")
     args = ap.parse_args()
@@ -76,6 +82,7 @@ def main() -> None:
         use_bloom=not args.no_bloom,
         webhook_key=args.webhook_key.encode("utf-8") if args.webhook_key else None,
         scheduler=args.scheduler,
+        media_sink=args.media_sink,
     )
     for m in metrics:
         print(json.dumps(m))

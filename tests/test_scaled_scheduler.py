@@ -128,6 +128,7 @@ def test_all_options_integration(spark, tmp_path):
         budget=2,
         robots=robots,
         webhook_key=b"k",
+        media_sink=True,
     )
     assert len(metrics) == 2
     arts = wave.read_articles(spark, catalog).collect()
@@ -152,6 +153,31 @@ def test_all_options_integration(spark, tmp_path):
     for m in metrics:
         dist = json.loads(m["topic_distribution"])
         assert sum(d["count"] for d in dist) == m["n_articles"]
+    # media sink: every yielded url has a media_features row for its
+    # wave, and every row's features + resize plan equal the pure-Python
+    # spec recomputed from the synth page bytes (golden diff)
+    import math
+
+    from newscrawl.multimodal import _fallback_features
+
+    media_rows = wave.read_media(spark, catalog).collect()
+    assert media_rows
+    html_by_url = {
+        r.url: bytes(r.html) for r in synth.build_pages_df(spark, cfg).collect()
+    }
+    media_keys = {(r.url, r.wave_id) for r in media_rows}
+    for s in wave.read_seen(spark, catalog).collect():
+        assert (s.url, s.processed_wave) in media_keys
+    for r in media_rows:
+        n, sha, w, h, ok = _fallback_features(html_by_url[r.url])
+        assert (r.n_bytes, r.sha256_16, r.width, r.height, r.decode_ok) == (
+            n, sha, w, h, ok,
+        )
+        scale = 256 / max(w, h) if max(w, h) > 256 else 1.0
+        assert (r.target_width, r.target_height, r.needs_resize) == (
+            math.floor(w * scale), math.floor(h * scale), scale < 1.0,
+        )
+        assert r.media_type == "page"  # no media extensions in the corpus
 
 
 def test_scaled_key_wide_budget_no_lexical_inversion(spark):
