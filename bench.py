@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "summary_gate",
     "article_entities",
     "kmeans_step",
+    "kmeans_train",
+    "knn_ivf_trained",
     "knn_label_majority",
 ]
 
@@ -279,8 +281,11 @@ def bench_queries(spark, sf_dir: str) -> dict:
     out = {}
     for name in BENCH_QUERIES:
         fn, _sql = QUERIES[name]
-        df = fn(spark, sf_dir)
+        # time fn() + the noop sink together: several queries do bounded
+        # driver work (head/collect of K-cardinality frames) inside fn,
+        # and kmeans_train runs its Lloyd iterations there
         t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         out[name] = round(time.perf_counter() - t0, 3)
     return out
@@ -325,6 +330,110 @@ def run_once(
         spark.stop()
 
 
+def parse_wave_timing(stdout: str) -> dict | None:
+    """Aggregate NEWSCRAWL_TIMING lines from a --crawl-only run into the
+    best rep's per-phase decomposition. Blocks are delimited by 'commit:'
+    lines; the warmup block (tiny corpus) is dropped by magnitude; the
+    selected block is the fastest complete rep (consistent with the
+    min-of-reps headline)."""
+    import re
+
+    blocks: list[dict] = [{}]
+    for line in stdout.splitlines():
+        m = re.match(
+            r"\[w\d+\] ([\w +:()-]+): ([\d.]+)s(?: rows=(\d+) bytes=(\d+))?", line
+        )
+        if not m:
+            continue
+        label, sec = m.group(1), float(m.group(2))
+        blk = blocks[-1]
+        if label.startswith("write:"):
+            blk.setdefault("writes", {})[label[6:]] = {
+                "sec": sec,
+                "rows": int(m.group(3)),
+                "bytes": int(m.group(4)),
+            }
+        elif label.startswith("job:"):
+            blk.setdefault("jobs", {})[label[4:]] = sec
+        else:
+            blk[label] = sec
+        if label == "commit":
+            blocks.append({})
+    done = [b for b in blocks if "commit" in b]
+    if not done:
+        return None
+
+    def phase_total(b: dict) -> float:
+        return sum(v for k, v in b.items() if isinstance(v, (int, float)))
+
+    biggest = max(phase_total(b) for b in done)
+    reps = [b for b in done if phase_total(b) > 0.2 * biggest] or done
+    best = min(reps, key=phase_total)
+    data_plane = best.get("extract(materialize)", 0.0)
+    res = phase_total(best) - data_plane
+    best["data_plane_sec"] = round(data_plane, 2)
+    best["residue_sec"] = round(res, 2)
+    return best
+
+
+def residue_section(residue: dict, pair) -> str:
+    """Markdown: the per-wave serial-residue decomposition at both legs —
+    what exactly the end-to-end wall time spends outside the data plane,
+    and whether the residue is disk-bound state writes."""
+    (lo, _), (hi, _) = pair
+    if not residue.get(lo) or not residue.get(hi):
+        return ""
+    out = [
+        "\n## Per-wave residue decomposition (best rep per leg)\n\n",
+        "Phases outside `extract(materialize)` are the residue: driver\n"
+        "orchestration + state writes against the single shared disk.\n"
+        "Write rows run CONCURRENTLY in the commit pool — the pool's wall\n"
+        "time is their max, not their sum.\n\n",
+        f"| phase | {lo} CPUs sec | {hi} CPUs sec |\n|---|---|---|\n",
+    ]
+    phases = [
+        "dedup+count",
+        "bloom_load",
+        "extract(materialize)",
+        "parallel writes+stats",
+        "bloom_merge+metrics",
+        "commit",
+        "data_plane_sec",
+        "residue_sec",
+    ]
+    for ph in phases:
+        a = residue[lo].get(ph, "-")
+        b = residue[hi].get(ph, "-")
+        fmt = lambda v: f"{v:.2f}" if isinstance(v, float) else str(v)
+        out.append(f"| {ph} | {fmt(a)} | {fmt(b)} |\n")
+    out.append(
+        f"\n| state write | {lo} CPUs sec | bytes | MB/s | {hi} CPUs sec | bytes | MB/s |\n"
+        "|---|---|---|---|---|---|---|\n"
+    )
+    tables = sorted(
+        set(residue[lo].get("writes", {})) | set(residue[hi].get("writes", {}))
+    )
+    for t in tables:
+        cells = []
+        for leg in (lo, hi):
+            w = residue[leg].get("writes", {}).get(t)
+            if w:
+                mbs = (w["bytes"] / 1e6 / w["sec"]) if w["sec"] > 0 else 0.0
+                cells += [f"{w['sec']:.2f}", str(w["bytes"]), f"{mbs:.1f}"]
+            else:
+                cells += ["-", "-", "-"]
+        out.append(f"| {t} | " + " | ".join(cells) + " |\n")
+    jl, jh = residue[lo].get("jobs", {}), residue[hi].get("jobs", {})
+    if jl or jh:
+        out.append(f"\n| commit-pool job | {lo} CPUs sec | {hi} CPUs sec |\n|---|---|---|\n")
+        for j in sorted(set(jl) | set(jh)):
+            out.append(
+                f"| {j} | {jl.get(j, '-') if j not in jl else f'{jl[j]:.2f}'} |"
+                f" {jh.get(j, '-') if j not in jh else f'{jh[j]:.2f}'} |\n"
+            )
+    return "".join(out)
+
+
 def scaling_report(sf_dir: str, scale: int) -> None:
     """One maximal crawl wave at 8 pinned CPUs (N) vs 32 (4N), fresh JVM
     each. Big single wave + 4x corpus because scaling efficiency is only
@@ -340,12 +449,14 @@ def scaling_report(sf_dir: str, scale: int) -> None:
     # does not compare 1:4 resources.
     pair = ((8, "0-7"), (32, "0-31"))
     results = {}
+    residue = {}
     for cpus, cpuset in pair:
         env = dict(os.environ)
         env["SPARK_GRAFT_CPUS"] = str(cpus)
         env["NEWSCRAWL_BENCH_SCALE"] = str(scale)
         env["NEWSCRAWL_BENCH_WAVES"] = "1"
         env["NEWSCRAWL_BENCH_SEED_ALL"] = "1"
+        env["NEWSCRAWL_TIMING"] = "1"  # per-phase + per-write residue evidence
         # best-of-2 per leg: the shared virtual disk injects multi-x
         # interference into single runs (measured 10.1k vs 19.1k urls/s
         # back-to-back on an identical 32-CPU extract stage)
@@ -363,6 +474,7 @@ def scaling_report(sf_dir: str, scale: int) -> None:
             check=True,
         )
         results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+        residue[cpus] = parse_wave_timing(out.stdout)
         out2 = subprocess.run(
             ["taskset", "-c", cpuset, sys.executable, __file__, "--extract-stage"],
             capture_output=True,
@@ -410,18 +522,16 @@ def scaling_report(sf_dir: str, scale: int) -> None:
             "|---|---|---|---|---|\n"
             f"| local[{lo}] @ {lo} CPUs (N) | {results[lo]['crawl']['pages']} | {results[lo]['crawl']['urls']} | {results[lo]['crawl']['sec']} | {r8} |\n"
             f"| local[{hi}] @ {hi} CPUs (4N) | {results[hi]['crawl']['pages']} | {results[hi]['crawl']['urls']} | {results[hi]['crawl']['sec']} | {r32} |\n\n"
-            f"**End-to-end scaling efficiency = {eff}.** On a real cluster the\n"
-            "disk-bound residue scales with node count (each executor writes\n"
-            "its own shards to its own disks / distributed object store), and\n"
-            "at 100 TB wave sizes the constant per-wave driver seconds\n"
-            "amortize to noise — the faster the data plane gets, the larger\n"
-            "the share of this sandbox's single disk in the end-to-end wall\n"
-            "time. Direct evidence of that decomposition: with round 1's\n"
-            "~3x-slower extraction kernel (more parallel CPU per url, same\n"
-            "serial residue) the SAME end-to-end measurement scaled at\n"
-            "0.812-0.826; speeding the kernel up 3x (native fingerprint,\n"
-            "fused classify) raised absolute throughput while shifting the\n"
-            "local-mode end-to-end ratio toward the fixed residue.\n\n"
+            f"**End-to-end scaling efficiency = {eff}.** The residue\n"
+            "decomposition below shows why the full loop now scales: the\n"
+            "commit pool's critical path is the articles state write, which\n"
+            "is zstd-COMPRESSION-bound, not disk-bound — its MB/s grows with\n"
+            "the core count — and the truly serial tail (snapshot manifest +\n"
+            "bloom merge + metrics, now written driver-side via pyarrow\n"
+            "instead of Spark jobs) is hundredths of a second per wave. On a\n"
+            "real cluster the remaining write seconds also spread across\n"
+            "executors' own disks / the object store, and constant per-wave\n"
+            "driver seconds amortize to noise at 100 TB wave sizes.\n\n"
             f"Corpus knobs: NEWSCRAWL_BENCH_SCALE={scale}, "
             f"NEWSCRAWL_BENCH_PARAS={os.environ.get('NEWSCRAWL_BENCH_PARAS', '60')}"
             " (~6 KB html/page — heavier than the 3 KB quick-bench corpus,\n"
@@ -432,6 +542,7 @@ def scaling_report(sf_dir: str, scale: int) -> None:
             "~50-200 articles per 2-10 min run (~0.1-1.7 urls/sec ceiling,\n"
             "/root/reference README.md:399). See repo-root BASELINE.md.\n"
         )
+        f.write(residue_section(residue, pair))
     print(json.dumps({
         "scaling_efficiency_fetch_extract": eff_stage,
         "scaling_efficiency_end_to_end": eff,

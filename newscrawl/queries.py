@@ -1911,6 +1911,142 @@ FROM ({SQL_KNN_COSINE}) b JOIN ({SQL_KNN_IVF_TRAINED}) i USING (vec_id)
 
 
 # ---------------------------------------------------------------------------
+# Corpus-statistics operators a training-data pipeline runs at scale:
+# TF-IDF term scoring, unigram-LM surprisal (perplexity filtering), and
+# exact distribution quantiles. All JVM-side: one tokenize explode,
+# hash-agg joins, Window ranking — every shape survives 100x.
+# ---------------------------------------------------------------------------
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document. tf = in-doc count, idf =
+    ln(N/df); the df table is term-cardinality (vocabulary), so at
+    corpus scale the final join broadcasts it. Rank by round(tfidf,6)
+    desc with term tie-break (the cross-engine-stable ordering used by
+    every knn query here)."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()  # one scalar — the oracle's (SELECT count(*))
+    terms = docs.select(
+        "doc_id", F.explode(_toks()).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = terms.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    tfidf = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    w = W.partitionBy("doc_id").orderBy(F.round(tfidf, 6).desc(), F.col("term"))
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(tfidf, 4).alias("tfidf"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+SQL_TFIDF_TOP_TERMS = """
+WITH terms AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms WHERE term <> ''
+  GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM terms WHERE term <> ''
+  GROUP BY term
+)
+SELECT doc_id, term, tf,
+       round(tf * ln((SELECT count(*) FROM documents) * 1.0 / df), 4) AS tfidf,
+       CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY round(tf.tf * ln((SELECT count(*) FROM documents) * 1.0 / df.df), 6) DESC,
+                    tf.term
+         ) AS rnk
+  FROM tf JOIN df USING (term)
+)
+WHERE rnk <= 3
+"""
+
+
+def q_unigram_surprisal(spark, sf_dir):
+    """Per-document mean unigram surprisal -avg(ln p(term)) — the
+    perplexity-filter score an LLM-data pipeline uses to drop gibberish
+    and boilerplate (high = rare tokens, low = stopword soup). The
+    unigram model is the corpus itself: p(term) = count(term)/total.
+    Vocabulary table broadcasts; one explode + two hash aggs."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(_toks()).alias("term")
+    ).filter(F.col("term") != "")
+    vocab = terms.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt")).first()[0]  # one scalar
+    surprisal = -F.log(F.col("cnt") / F.lit(float(total)))
+    return (
+        terms.join(F.broadcast(vocab), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(surprisal), 4).alias("mean_surprisal"),
+            F.count("*").alias("n_tokens"),
+        )
+    )
+
+
+SQL_UNIGRAM_SURPRISAL = """
+WITH terms AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+  FROM documents
+), t AS (
+  SELECT doc_id, term FROM terms WHERE term <> ''
+), vocab AS (
+  SELECT term, count(*) AS cnt FROM t GROUP BY term
+), tot AS (SELECT sum(cnt) AS total FROM vocab)
+SELECT doc_id,
+       round(avg(-ln(cnt * 1.0 / total)), 4) AS mean_surprisal,
+       count(*) AS n_tokens
+FROM t JOIN vocab USING (term), tot
+GROUP BY doc_id
+"""
+
+
+def q_length_quantiles(spark, sf_dir):
+    """Exact interpolated quartiles of document length per language —
+    the distribution audit run before picking filter thresholds. Exact
+    (not approx) so the oracle matches bit-for-bit; at 100 TB swap in
+    percentile_approx and compare against a sampled exact baseline."""
+    docs = _t(spark, sf_dir, "documents")
+    qs = [0.25, 0.5, 0.75]
+    qs_arr = F.array(*[F.lit(q) for q in qs])
+    agg = docs.groupBy("lang").agg(
+        F.percentile(F.length("text"), qs_arr).alias("p")
+    )
+    return agg.select(
+        "lang", F.posexplode("p").alias("pos", "chars")
+    ).select(
+        "lang",
+        F.element_at(qs_arr, F.col("pos") + 1).alias("q"),
+        F.round("chars", 2).alias("chars"),
+    )
+
+
+SQL_LENGTH_QUANTILES = """
+WITH per AS (
+  SELECT lang, quantile_cont(length(text), [0.25, 0.5, 0.75]) AS ps
+  FROM documents GROUP BY lang
+)
+SELECT lang, CAST(q AS DOUBLE) AS q, round(chars, 2) AS chars
+FROM (
+  SELECT lang, unnest([0.25, 0.5, 0.75]) AS q, unnest(ps) AS chars FROM per
+)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Classify-stage operators (reference classifier.py:232-318): topic +
 # sentiment assignment via the deterministic lexicons shared with the
 # crawl engine (newscrawl/extract.py), their per-corpus distributions,
@@ -2285,6 +2421,9 @@ QUERIES = {
     "kmeans_train": (q_kmeans_train, SQL_KMEANS_TRAIN),
     "knn_ivf_trained": (q_knn_ivf_trained, SQL_KNN_IVF_TRAINED),
     "knn_recall_trained": (q_knn_recall_trained, SQL_KNN_RECALL_TRAINED),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+    "unigram_surprisal": (q_unigram_surprisal, SQL_UNIGRAM_SURPRISAL),
+    "length_quantiles": (q_length_quantiles, SQL_LENGTH_QUANTILES),
     "knn_label_majority": (q_knn_label_majority, SQL_KNN_LABEL_MAJORITY),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     "knn_recall": (q_knn_recall, SQL_KNN_RECALL),

@@ -207,6 +207,51 @@ class WaveCommit:
         self._writes.append((table, mode, files, total_rows))
         return total_rows
 
+    def write_rows(
+        self,
+        table: str,
+        rows: list[tuple],
+        schema: T.StructType,
+        mode: str = "append",
+    ) -> int:
+        """Stage a driver-resident delta WITHOUT a Spark job: the wave's
+        serial tail writes bounded-cardinality tables (one metrics row,
+        K bloom-shard rows) and a full JVM job submission + plan + task
+        round-trip costs ~0.3-0.5 s each against a single-digit-KB
+        payload. pyarrow writes the parquet directly. Same lineage
+        manifest entry as write(); same commit visibility rules."""
+        assert mode in ("append", "overwrite")
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        _PA = {
+            "string": pa.string(),
+            "long": pa.int64(),
+            "integer": pa.int32(),
+            "double": pa.float64(),
+            "boolean": pa.bool_(),
+            "binary": pa.binary(),
+        }
+        arrow_schema = pa.schema(
+            [(f.name, _PA[f.dataType.typeName()]) for f in schema.fields]
+        )
+        cols = list(zip(*rows)) if rows else [[] for _ in schema.fields]
+        tbl = pa.table(
+            {f.name: list(c) for f, c in zip(schema.fields, cols)},
+            schema=arrow_schema,
+        )
+        out_dir = os.path.join(
+            self.catalog.root, table, "data", f"{uuid.uuid4().hex[:12]}"
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, "part-00000.parquet")
+        pq.write_table(tbl, path, compression="zstd")
+        files = [
+            {"path": path, "rows": len(rows), "bytes": os.path.getsize(path)}
+        ]
+        self._writes.append((table, mode, files, len(rows)))
+        return len(rows)
+
     def commit(self, wave_id: str, wave_index: int, metrics: dict | None = None) -> dict:
         parent = self.catalog.current_snapshot()
         tables: dict = {} if parent is None else {k: dict(v) for k, v in parent["tables"].items()}

@@ -358,19 +358,53 @@ def run_wave(
         # at 100 TB scale replace the constant with a rows/target-file-size
         # estimate from the manifest stats.
         n_out = max(2, spark.sparkContext.defaultParallelism // 4)
+
+        def timed_write(table: str, df: DataFrame, mode: str) -> int:
+            # NEWSCRAWL_TIMING: per-write wall time + bytes, the evidence
+            # behind the commit-residue decomposition in BENCH/BASELINE.md
+            # (futures run concurrently — the pool's wall time is the MAX
+            # of these, not the sum)
+            t0 = time.perf_counter()
+            rows = commit.write(table, df, mode)
+            if _timing:
+                nbytes = sum(
+                    f["bytes"]
+                    for t, _m, fs, _r in commit._writes
+                    if t == table
+                    for f in fs
+                )
+                print(
+                    f"[{wid}] write:{table}: {time.perf_counter() - t0:.2f}s "
+                    f"rows={rows} bytes={nbytes}",
+                    flush=True,
+                )
+            return rows
+
+        def timed_job(label: str, fn):
+            t0 = time.perf_counter()
+            out = fn()
+            if _timing:
+                print(
+                    f"[{wid}] job:{label}: {time.perf_counter() - t0:.2f}s",
+                    flush=True,
+                )
+            return out
+
         with ThreadPoolExecutor(max_workers=8) as pool:
             f_frontier = pool.submit(
-                commit.write, "frontier", new_frontier.coalesce(n_out), "overwrite"
+                timed_write, "frontier", new_frontier.coalesce(n_out), "overwrite"
             )
-            f_seen = pool.submit(commit.write, "seen", seen_delta.coalesce(n_out), "append")
+            f_seen = pool.submit(
+                timed_write, "seen", seen_delta.coalesce(n_out), "append"
+            )
             f_articles = pool.submit(
-                commit.write, "articles", articles.coalesce(n_out), "append"
+                timed_write, "articles", articles.coalesce(n_out), "append"
             )
-            f_stats = pool.submit(compute_stats)
-            f_dims = pool.submit(compute_dims)
+            f_stats = pool.submit(timed_job, "stats", compute_stats)
+            f_dims = pool.submit(timed_job, "dims", compute_dims)
             f_webhook = (
                 pool.submit(
-                    commit.write,
+                    timed_write,
                     "webhook_payloads",
                     webhook.signed_payloads(articles, webhook_key).coalesce(n_out),
                     "append",
@@ -408,13 +442,13 @@ def run_wave(
                     )
                 )
                 f_hosts = pool.submit(
-                    commit.write, "host_state", new_state.coalesce(n_out), "overwrite"
+                    timed_write, "host_state", new_state.coalesce(n_out), "overwrite"
                 )
             else:
                 f_hosts = None
             f_media = (
                 pool.submit(
-                    commit.write,
+                    timed_write,
                     "media_features",
                     multimodal.page_media_features(fetched, media_max_side)
                     .withColumn("wave_id", F.lit(wid))
@@ -426,7 +460,9 @@ def run_wave(
             )
             f_bloom = (
                 pool.submit(
-                    lambda: seenset.build_bloom_rows(seen_delta).collect()
+                    timed_job,
+                    "bloom_build",
+                    lambda: seenset.build_bloom_rows(seen_delta).collect(),
                 )
                 if use_bloom
                 else None
@@ -490,10 +526,15 @@ def run_wave(
             "topic_distribution": dim_dist("topic"),
             "sentiment_distribution": dim_dist("sentiment"),
         }
-        metrics_df = spark.createDataFrame(
-            [tuple(metrics[f.name] for f in WAVE_METRICS.fields)], schema=WAVE_METRICS
+        # driver-resident tables (1 metrics row, K bloom shards) write
+        # via pyarrow directly — each Spark job here costs ~0.3-0.5 s of
+        # the wave's SERIAL tail for a KB-scale payload
+        commit.write_rows(
+            "wave_metrics",
+            [tuple(metrics[f.name] for f in WAVE_METRICS.fields)],
+            WAVE_METRICS,
+            mode="append",
         )
-        commit.write("wave_metrics", metrics_df, mode="append")
 
         if use_bloom:
             merged = seenset.BloomShardSet.from_rows(
@@ -501,8 +542,9 @@ def run_wave(
             )
             if bloom is not None:
                 merged.merge(bloom)
-            merged_df = spark.createDataFrame(merged.to_rows(), schema=BLOOM_SHARDS)
-            commit.write("bloom_shards", merged_df, mode="overwrite")
+            commit.write_rows(
+                "bloom_shards", merged.to_rows(), BLOOM_SHARDS, mode="overwrite"
+            )
 
         tick("bloom_merge+metrics")
         commit.commit(wave_id=wid, wave_index=wave_index, metrics=metrics)

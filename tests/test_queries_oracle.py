@@ -59,3 +59,47 @@ def test_query_matches_oracle(spark, duck, name):
     assert len(got) > 0, f"{name}: empty result proves nothing"
     mism = [(g, w) for g, w in zip(got, want) if g != w]
     assert not mism, f"{name}: first value mismatches: {mism[:5]}"
+
+
+def test_gemm_block_count_bounds():
+    """B = ceil(n / target) with a floor: per-task GEMM memory is bounded
+    by the block target at ANY corpus size."""
+    import math
+
+    from newscrawl.queries import (
+        GEMM_BLOCK_TARGET_ROWS,
+        GEMM_MIN_BLOCKS,
+        _gemm_block_count,
+    )
+
+    assert _gemm_block_count(0) == GEMM_MIN_BLOCKS
+    assert _gemm_block_count(500) == GEMM_MIN_BLOCKS
+    for n in (10**5, 10**7, 10**10):
+        b = _gemm_block_count(n)
+        assert math.ceil(n / b) <= GEMM_BLOCK_TARGET_ROWS
+        assert b >= GEMM_MIN_BLOCKS
+
+
+def test_gemm_group_rows_bounded_sf01(spark):
+    """At sf0.1, every (bi,bj) shuffle group of the block-pair GEMM holds
+    at most |block_i| + |block_j| rows, and no block exceeds ~4x the
+    ideal n/B (hash balance) — the per-task memory bound is real."""
+    from pyspark.sql import functions as F
+
+    from newscrawl.queries import _gemm_block_count
+
+    sf = "/root/testdata/sf0.1"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select("vec_id")
+    n = emb.count()
+    b = _gemm_block_count(n)
+    sizes = {
+        r._blk: r.cnt
+        for r in emb.withColumn(
+            "_blk", F.pmod(F.xxhash64("vec_id"), F.lit(b)).cast("int")
+        )
+        .groupBy("_blk")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert sum(sizes.values()) == n
+    assert max(sizes.values()) <= max(4 * n // b, 64)
