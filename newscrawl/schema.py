@@ -139,6 +139,19 @@ BLOOM_SHARDS = T.StructType(
     ]
 )
 
+# Cuckoo-filter spill tier: the DELETABLE accelerator for the most
+# recent SPILL_WAVES waves (north rule: "sharded bloom-filter (plus
+# cuckoo-filter spill tier)"). Entries leave with their snapshot on
+# rollback instead of poisoning the immutable bloom.
+CUCKOO_SPILL = T.StructType(
+    [
+        T.StructField("wave_index", T.IntegerType(), False),
+        T.StructField("shard", T.IntegerType(), False),
+        T.StructField("bitmap", T.BinaryType(), False),
+        T.StructField("n_items", T.LongType(), False),
+    ]
+)
+
 # Politeness additions (north rule; reference has none — robots.txt is
 # never consulted in the reference tree).
 HOST_STATE = T.StructType(

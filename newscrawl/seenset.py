@@ -160,27 +160,44 @@ def build_bloom_rows(seen_delta: DataFrame, n_shards: int = DEFAULT_SHARDS, m_bi
     )
 
 
-def antijoin_unseen(candidates: DataFrame, seen: DataFrame, bloom: BloomShardSet | None = None) -> DataFrame:
+def antijoin_unseen(
+    candidates: DataFrame,
+    seen: DataFrame,
+    bloom: BloomShardSet | None = None,
+    spill: "CuckooShardSet | None" = None,
+) -> DataFrame:
     """Rows of ``candidates`` whose url is NOT in ``seen`` (exact).
 
-    With a bloom, definitely-new candidates bypass the anti-join shuffle;
-    only maybe-seen candidates join against the seen table. Correct for
-    any bloom contents because blooms have no false negatives.
+    With an accelerator, definitely-new candidates bypass the anti-join
+    shuffle; only maybe-seen candidates join against the seen table. The
+    accelerator is the union of two tiers — the immutable merged BLOOM
+    (all but the most recent waves) and the deletable CUCKOO spill
+    (the recent-wave window; its entries vanish with a rollback instead
+    of poisoning the bloom). Correct for any tier contents because
+    neither tier has false negatives over the waves it covers.
     ``candidates`` must carry ``url_hash`` (xxhash64 of url).
     """
     seen_urls = seen.select("url")
-    if bloom is None or not bloom.bitmaps:
+    has_bloom = bloom is not None and bloom.bitmaps
+    has_spill = spill is not None and spill.filters
+    if not has_bloom and not has_spill:
         return candidates.join(seen_urls, "url", "left_anti")
 
     spark = candidates.sparkSession
-    b = spark.sparkContext.broadcast(bloom.to_rows())
-    n_shards, m_bits, k = bloom.n_shards, bloom.m_bits, bloom.k
+    b = spark.sparkContext.broadcast(bloom.to_rows() if has_bloom else [])
+    c = spark.sparkContext.broadcast(spill.to_rows() if has_spill else [])
+    n_shards = bloom.n_shards if has_bloom else DEFAULT_SHARDS
+    m_bits = bloom.m_bits if has_bloom else DEFAULT_BITS_PER_SHARD
+    k = bloom.k if has_bloom else DEFAULT_K
+    spill_shards = spill.n_shards if has_spill else DEFAULT_SHARDS
 
     def check(batch_iter):
         bs = BloomShardSet.from_rows(b.value, n_shards, m_bits, k)
+        cs = CuckooShardSet.from_rows(c.value, spill_shards)
         for pdf in batch_iter:
             pdf = pdf.copy()
-            pdf["maybe_seen"] = bs.maybe_contains(pdf["url_hash"].to_numpy(dtype=np.int64))
+            hs = pdf["url_hash"].to_numpy(dtype=np.int64)
+            pdf["maybe_seen"] = bs.maybe_contains(hs) | cs.maybe_contains(hs)
             yield pdf
 
     in_ddl = ", ".join(
@@ -277,6 +294,27 @@ class CuckooFilter:
             or self.victim == int(fp)
         )
 
+    def contains_many(self, hashes: np.ndarray) -> np.ndarray:
+        """Vectorized ``contains`` over int64 url hashes (exactly the
+        scalar arithmetic of _fp_and_buckets, batched — the prefilter
+        kernel path). No false negatives by the same argument."""
+        hashes = np.asarray(hashes, dtype=np.int64)
+        if not len(hashes):
+            return np.zeros(0, dtype=bool)
+        mask = np.uint64(self.n_buckets - 1)
+        mixed = _mix64(hashes)
+        fp64 = mixed & np.uint64(0xFFFF)
+        fp64[fp64 == 0] = 1
+        fp16 = fp64.astype(np.uint16)
+        i1 = ((mixed >> np.uint64(16)) & mask).astype(np.int64)
+        fph = _mix64(fp64.astype(np.int64))
+        i2 = ((i1.astype(np.uint64) ^ fph) & mask).astype(np.int64)
+        hit = (self.table[i1] == fp16[:, None]).any(axis=1)
+        hit |= (self.table[i2] == fp16[:, None]).any(axis=1)
+        if self.victim:
+            hit |= fp16 == np.uint16(self.victim)
+        return hit
+
     def delete(self, h: int) -> bool:
         fp, i1, i2 = self._fp_and_buckets(h)
         for i in (i1, i2):
@@ -306,3 +344,91 @@ class CuckooFilter:
             cf.victim = int(flat[n_table]) if len(flat) > n_table else 0
             cf.n_items = int(n)
         return cf
+
+    @classmethod
+    def from_blob(cls, blob: bytes, n_items: int) -> "CuckooFilter":
+        """Rehydrate inferring n_buckets from the blob length (table is
+        n_buckets*SLOTS uint16 + 1 victim uint16) — filters built with
+        grow-on-overflow have per-instance sizes."""
+        flat = np.frombuffer(bytes(blob), dtype=np.uint16)
+        n_buckets = (len(flat) - 1) // cls.SLOTS
+        cf = cls(n_buckets)
+        cf.table = flat[: n_buckets * cls.SLOTS].reshape(n_buckets, cls.SLOTS).copy()
+        cf.victim = int(flat[n_buckets * cls.SLOTS])
+        cf.n_items = int(n_items)
+        return cf
+
+
+def build_cuckoo(hashes: np.ndarray, n_buckets: int = 1 << 10) -> CuckooFilter:
+    """Build a cuckoo filter over int64 hashes, doubling capacity until
+    every add lands (deterministic: same hashes -> same final size and
+    table)."""
+    hashes = np.asarray(hashes, dtype=np.int64)
+    while True:
+        cf = CuckooFilter(n_buckets)
+        if all(cf.add(int(h)) for h in hashes):
+            return cf
+        n_buckets *= 2
+
+
+def build_cuckoo_rows(
+    seen_delta: DataFrame, n_shards: int = DEFAULT_SHARDS
+) -> DataFrame:
+    """Distributed cuckoo build for the spill tier — the deletable
+    sibling of build_bloom_rows: one (shard, bitmap, n_items) row per
+    shard of the wave's seen-delta, grown-to-fit per shard."""
+    import pandas as pd
+
+    def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        hs = pdf["url_hash"].to_numpy(dtype=np.int64)
+        shard = int(pdf["shard"].iat[0])
+        cf = build_cuckoo(hs)
+        rows = [(shard, blob, n) for _s, blob, n in cf.to_rows()]
+        return pd.DataFrame(rows, columns=["shard", "bitmap", "n_items"])
+
+    return (
+        seen_delta.select("url_hash")
+        .withColumn("shard", F.pmod(F.col("url_hash"), F.lit(n_shards)).cast("int"))
+        .groupBy("shard")
+        .applyInPandas(per_shard, schema=BLOOM_SHARDS)
+    )
+
+
+class CuckooShardSet:
+    """The spill tier loaded for prefiltering: per-(wave, shard) cuckoo
+    filters, consulted alongside the bloom. Sharding key matches the
+    blooms (url_hash mod n_shards)."""
+
+    def __init__(self, n_shards: int = DEFAULT_SHARDS):
+        self.n_shards = n_shards
+        # (wave_index, shard) -> CuckooFilter
+        self.filters: dict[tuple[int, int], CuckooFilter] = {}
+
+    @classmethod
+    def from_rows(cls, rows, n_shards: int = DEFAULT_SHARDS) -> "CuckooShardSet":
+        cs = cls(n_shards)
+        for wave_index, shard, blob, n_items in rows:
+            cs.filters[(int(wave_index), int(shard))] = CuckooFilter.from_blob(
+                blob, n_items
+            )
+        return cs
+
+    def maybe_contains(self, hashes: np.ndarray) -> np.ndarray:
+        hashes = np.asarray(hashes, dtype=np.int64)
+        out = np.zeros(len(hashes), dtype=bool)
+        if not self.filters or not len(hashes):
+            return out
+        shards = (hashes.astype(np.uint64) % np.uint64(self.n_shards)).astype(
+            np.int64
+        )
+        for (wi, s), cf in self.filters.items():
+            mask = shards == s
+            if mask.any():
+                out[mask] |= cf.contains_many(hashes[mask])
+        return out
+
+    def to_rows(self) -> list[tuple[int, int, bytes, int]]:
+        return [
+            (wi, s, cf.to_rows()[0][1], cf.n_items)
+            for (wi, s), cf in sorted(self.filters.items())
+        ]

@@ -146,6 +146,31 @@ class ManifestParquetCatalog:
             return spark.createDataFrame([], schema=schema)
         return spark.read.schema(schema).parquet(*files)
 
+    def files_added_by_wave(self, table: str, wave_index: int) -> list[str]:
+        """Lineage query: the data files a given wave's commit ADDED to a
+        table (its snapshot's file set minus its parent's). Lets the
+        spill-tier fold read exactly one wave's delta instead of
+        rescanning the table. Walks the CURRENT snapshot's ancestry — a
+        rolled-back-and-recrawled wave index resolves to the live lineage
+        branch, never the orphaned one."""
+        snap = self.current_snapshot()
+        while snap is not None:
+            if snap.get("wave_index") == wave_index:
+                mine = {
+                    f["path"] for f in snap["tables"].get(table, {}).get("files", [])
+                }
+                parent_id = snap.get("parent_snapshot_id")
+                if parent_id is not None:
+                    parent = self.snapshot(parent_id)
+                    mine -= {
+                        f["path"]
+                        for f in parent["tables"].get(table, {}).get("files", [])
+                    }
+                return sorted(mine)
+            parent_id = snap.get("parent_snapshot_id")
+            snap = None if parent_id is None else self.snapshot(parent_id)
+        return []
+
     def table_stats(self, table: str) -> dict:
         snap = self.current_snapshot()
         if snap is None:

@@ -48,6 +48,7 @@ from .reference_oracle import wave_id_for
 from .schema import (
     ARTICLES,
     BLOOM_SHARDS,
+    CUCKOO_SPILL,
     FRONTIER,
     HOST_STATE,
     MEDIA_FEATURES,
@@ -84,6 +85,23 @@ def _load_bloom(spark: SparkSession, catalog: ManifestParquetCatalog) -> seenset
     if not rows:
         return None
     return seenset.BloomShardSet.from_rows([(r.shard, r.bitmap, r.n_items) for r in rows])
+
+
+# Waves covered by the DELETABLE cuckoo tier instead of the immutable
+# bloom: a rollback within this window removes those waves' accelerator
+# entries with their snapshots (blooms cannot un-merge). The leaving
+# wave's delta folds into the bloom via the manifest's per-wave file
+# lineage — one bounded delta read, never a seen-table rescan.
+SPILL_WAVES = 2
+
+
+def _load_spill(spark: SparkSession, catalog: ManifestParquetCatalog) -> "seenset.CuckooShardSet | None":
+    rows = catalog.read(spark, "cuckoo_spill", CUCKOO_SPILL).collect()
+    if not rows:
+        return None
+    return seenset.CuckooShardSet.from_rows(
+        [(r.wave_index, r.shard, r.bitmap, r.n_items) for r in rows]
+    )
 
 
 def run_wave(
@@ -163,8 +181,9 @@ def run_wave(
     tick("dedup+count")
 
     bloom = _load_bloom(spark, catalog) if use_bloom else None
+    spill = _load_spill(spark, catalog) if use_bloom else None
     tick("bloom_load")
-    unseen = seenset.antijoin_unseen(cands, seen, bloom)
+    unseen = seenset.antijoin_unseen(cands, seen, bloom, spill)
     unseen = politeness.robots_filter(unseen, robots)
 
     kept, deferred = politeness.budget_gate(unseen, budget)
@@ -458,13 +477,33 @@ def run_wave(
                 if media_sink
                 else None
             )
+            # deletable tier: THIS wave's delta becomes cuckoo rows; the
+            # wave LEAVING the spill window folds into the immutable
+            # bloom, read back via per-wave file lineage (bounded delta)
+            f_cuckoo = (
+                pool.submit(
+                    timed_job,
+                    "cuckoo_build",
+                    lambda: seenset.build_cuckoo_rows(seen_delta).collect(),
+                )
+                if use_bloom
+                else None
+            )
+            leaving = wave_index - SPILL_WAVES
+            fold_files = (
+                catalog.files_added_by_wave("seen", leaving)
+                if use_bloom and leaving >= 0
+                else []
+            )
             f_bloom = (
                 pool.submit(
                     timed_job,
-                    "bloom_build",
-                    lambda: seenset.build_bloom_rows(seen_delta).collect(),
+                    "bloom_fold",
+                    lambda: seenset.build_bloom_rows(
+                        spark.read.schema(SEEN).parquet(*fold_files)
+                    ).collect(),
                 )
-                if use_bloom
+                if fold_files
                 else None
             )
             n_frontier_next = f_frontier.result()
@@ -478,7 +517,8 @@ def run_wave(
                 f_hosts.result()
             if f_media is not None:
                 f_media.result()
-            bloom_delta_rows = f_bloom.result() if f_bloom is not None else None
+            cuckoo_delta_rows = f_cuckoo.result() if f_cuckoo is not None else None
+            bloom_fold_rows = f_bloom.result() if f_bloom is not None else None
         tick("parallel writes+stats")
 
         n_yielded = sum(r.n for r in stat_rows)
@@ -537,13 +577,27 @@ def run_wave(
         )
 
         if use_bloom:
-            merged = seenset.BloomShardSet.from_rows(
-                [(r.shard, r.bitmap, r.n_items) for r in bloom_delta_rows]
-            )
-            if bloom is not None:
-                merged.merge(bloom)
+            if bloom_fold_rows:
+                merged = seenset.BloomShardSet.from_rows(
+                    [(r.shard, r.bitmap, r.n_items) for r in bloom_fold_rows]
+                )
+                if bloom is not None:
+                    merged.merge(bloom)
+                commit.write_rows(
+                    "bloom_shards", merged.to_rows(), BLOOM_SHARDS, mode="overwrite"
+                )
+            # spill window: prior recent-wave rows still inside the
+            # window + this wave's rows (the leaving wave's rows drop —
+            # their coverage just moved into the bloom)
+            spill_rows = [
+                r for r in (spill.to_rows() if spill is not None else [])
+                if r[0] > leaving
+            ] + [
+                (wave_index, r.shard, r.bitmap, r.n_items)
+                for r in cuckoo_delta_rows
+            ]
             commit.write_rows(
-                "bloom_shards", merged.to_rows(), BLOOM_SHARDS, mode="overwrite"
+                "cuckoo_spill", spill_rows, CUCKOO_SPILL, mode="overwrite"
             )
 
         tick("bloom_merge+metrics")

@@ -126,3 +126,83 @@ def test_cuckoo_overflow_never_loses_added_items():
     if victims:
         assert cf.delete(victims[0])
         assert cf.victim == 0
+
+
+# ---------------------------------------------------------------------------
+# Cuckoo spill tier wiring (north rule: bloom PLUS cuckoo spill tier)
+# ---------------------------------------------------------------------------
+
+
+def test_cuckoo_contains_many_matches_scalar():
+    cf = seenset.CuckooFilter(n_buckets=1 << 8)
+    hs = np.arange(-400, 400, 7, dtype=np.int64)
+    for h in hs[::2]:
+        cf.add(int(h))
+    got = cf.contains_many(hs)
+    want = np.array([cf.contains(int(h)) for h in hs])
+    assert (got == want).all()
+    assert got[::2].all()  # added items always hit (no false negatives)
+
+
+def test_spill_tier_covers_recent_waves_and_bloom_lags(spark, tmp_path):
+    """After a crawl, the bloom tier covers only waves that LEFT the
+    spill window; the cuckoo rows cover the recent window; their union
+    flags every seen url as maybe-seen (no false negatives end-to-end)."""
+    from newscrawl import synth, wave
+    from newscrawl.storage import ManifestParquetCatalog
+
+    cfg = synth.SynthConfig(n_seed=3, n_total=14)
+    cat = ManifestParquetCatalog(str(tmp_path / "sp"))
+    wave.run_crawl(spark, cat, cfg, n_waves=3)
+
+    bloom = wave._load_bloom(spark, cat)
+    spill = wave._load_spill(spark, cat)
+    assert spill is not None and spill.filters
+    # spill window = waves (last - SPILL_WAVES, last]
+    waves_in_spill = sorted({wi for wi, _s in spill.filters.keys()})
+    assert waves_in_spill == [1, 2]  # wave 0 left the window into the bloom
+    assert bloom is not None  # wave 0 folded in
+
+    seen = wave.read_seen(spark, cat).collect()
+    assert seen
+    hs = np.array([r.url_hash for r in seen], dtype=np.int64)
+    flagged = spill.maybe_contains(hs) | bloom.maybe_contains(hs)
+    assert flagged.all(), "union of tiers must flag every seen url"
+    # the bloom alone must NOT be required to cover the recent waves
+    recent = np.array(
+        [r.url_hash for r in seen if r.processed_wave > "w0000"], dtype=np.int64
+    )
+    assert spill.maybe_contains(recent).all()
+
+
+def test_rollback_removes_rolled_back_waves_from_accelerator(spark, tmp_path):
+    """The point of the deletable tier: rolling back drops the rolled-back
+    waves' accelerator entries with their snapshots (a merged bloom could
+    never un-merge them)."""
+    from newscrawl import synth, wave
+    from newscrawl.storage import ManifestParquetCatalog
+
+    cfg = synth.SynthConfig(n_seed=3, n_total=14)
+    cat = ManifestParquetCatalog(str(tmp_path / "rbsp"))
+    wave.run_crawl(spark, cat, cfg, n_waves=3)
+    seen_all = wave.read_seen(spark, cat).collect()
+    late = [r for r in seen_all if r.processed_wave > "w0000"]
+    assert late
+
+    post_w0 = cat.snapshot_ids()[1]
+    cat.rollback(post_w0)
+    bloom = wave._load_bloom(spark, cat)
+    spill = wave._load_spill(spark, cat)
+    assert bloom is None  # nothing has left the spill window by wave 0
+    assert sorted({wi for wi, _s in spill.filters.keys()}) == [0]
+
+    late_hs = np.array([r.url_hash for r in late], dtype=np.int64)
+    w0_hs = np.array(
+        [r.url_hash for r in seen_all if r.processed_wave == "w0000"],
+        dtype=np.int64,
+    )
+    assert spill.maybe_contains(w0_hs).all()
+    # rolled-back waves' urls are (almost all) gone from the accelerator;
+    # tiny residual collision rate is allowed, zero would overfit
+    frac = spill.maybe_contains(late_hs).mean()
+    assert frac < 0.2, f"rolled-back urls still flagged: {frac}"
