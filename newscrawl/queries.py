@@ -1728,6 +1728,12 @@ def _assign_to_centroids(emb, cents_df):
     )
 
 
+# (sf_dir, n_iters) -> trained centroids. Training is deterministic in
+# its inputs, and three queries (kmeans_train, knn_ivf_trained,
+# knn_recall_trained) share it — cache so a driver pass trains once.
+_KMEANS_CACHE: dict[tuple[str, int], dict[int, list[float]]] = {}
+
+
 def _kmeans_train_centroids(spark, sf_dir, n_iters=N_KMEANS_ITERS):
     """Distributed Lloyd iterations with the canonical driver sync: the
     assignment and the per-(bucket,dim) mean run as Spark jobs; only the
@@ -1735,6 +1741,9 @@ def _kmeans_train_centroids(spark, sf_dir, n_iters=N_KMEANS_ITERS):
     size, same shape as Spark MLlib's KMeans) crosses to the driver
     between iterations. Returns {cent_id: [dim values]}. Seeds are
     vec_id 1..K quantized exactly like every later iterate."""
+    key = (sf_dir, n_iters)
+    if key in _KMEANS_CACHE:
+        return {cid: list(v) for cid, v in _KMEANS_CACHE[key].items()}
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     seed = (
         emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= KMEANS_K))
@@ -1771,6 +1780,7 @@ def _kmeans_train_centroids(spark, sf_dir, n_iters=N_KMEANS_ITERS):
             cid: [got.get((cid, d), vals[d]) for d in range(EMB_DIM)]
             for cid, vals in cents.items()
         }
+    _KMEANS_CACHE[key] = {cid: list(v) for cid, v in cents.items()}
     return cents
 
 

@@ -126,6 +126,17 @@ def main() -> None:
             "IVF bucket assignment = broadcast centroids + per-vector "
             "argmax window; search touches one bucket.",
         ),
+        (
+            "summary_gate",
+            "The recursive re-summarize fixpoint as statically-unrolled "
+            "JVM higher-order filters — whole plan is one scan-side "
+            "projection, zero shuffles, zero Python.",
+        ),
+        (
+            "tfidf_top_terms",
+            "df (vocabulary) side broadcasts into the tf join; one "
+            "explode feeds both aggregates.",
+        ),
     ]:
         fn, _sql = QUERIES[name]
         sections.append((f"query: {name}", note, fmt(fn(spark, SF))))
