@@ -142,12 +142,15 @@ BLOOM_SHARDS = T.StructType(
 # Cuckoo-filter spill tier: the DELETABLE accelerator for the most
 # recent SPILL_WAVES waves (north rule: "sharded bloom-filter (plus
 # cuckoo-filter spill tier)"). Entries leave with their snapshot on
-# rollback instead of poisoning the immutable bloom.
+# rollback instead of poisoning the immutable bloom. The bloom bitmap
+# of the same delta rides along so the eventual fold into the merged
+# bloom is a driver-side OR, not a Spark job.
 CUCKOO_SPILL = T.StructType(
     [
         T.StructField("wave_index", T.IntegerType(), False),
         T.StructField("shard", T.IntegerType(), False),
-        T.StructField("bitmap", T.BinaryType(), False),
+        T.StructField("bitmap", T.BinaryType(), False),  # cuckoo blob
+        T.StructField("bloom_bitmap", T.BinaryType(), False),
         T.StructField("n_items", T.LongType(), False),
     ]
 )

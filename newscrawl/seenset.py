@@ -52,6 +52,19 @@ def _mix64(x: np.ndarray) -> np.ndarray:
     return x
 
 
+_FP_MIX: "np.ndarray | None" = None
+
+
+def _fp_mix_table() -> np.ndarray:
+    """_mix64 over the whole 16-bit fingerprint space, computed once —
+    the cuckoo eviction walk and bulk paths look fingerprints up here
+    instead of constructing a one-element array per mix."""
+    global _FP_MIX
+    if _FP_MIX is None:
+        _FP_MIX = _mix64(np.arange(1 << 16, dtype=np.int64))
+    return _FP_MIX
+
+
 def _bit_positions(hashes: np.ndarray, k: int, m_bits: int) -> np.ndarray:
     """(n, k) bit positions via double hashing h1 + i*h2 (Kirsch-Mitzenmacher)."""
     u = hashes.astype(np.uint64)
@@ -252,9 +265,36 @@ class CuckooFilter:
         return fp, i1, i2
 
     def add(self, h: int) -> bool:
+        fp, i1, i2 = self._fp_and_buckets(h)
+        return self._insert(fp, i1, i2)
+
+    def add_many(self, hashes: np.ndarray) -> bool:
+        """Bulk add: fingerprints/buckets computed in ONE vectorized pass
+        (the scalar path pays two np.array constructions per item), then
+        the identical placement/eviction logic per item via _insert —
+        bit-identical table to sequential add() calls. Returns False if
+        any add overflowed (caller grows and rebuilds)."""
+        hashes = np.asarray(hashes, dtype=np.int64)
+        if not len(hashes):
+            return True
+        mask = np.uint64(self.n_buckets - 1)
+        mixed = _mix64(hashes)
+        fp64 = mixed & np.uint64(0xFFFF)
+        fp64[fp64 == 0] = 1
+        i1s = ((mixed >> np.uint64(16)) & mask).astype(np.int64)
+        i2s = ((i1s.astype(np.uint64) ^ _fp_mix_table()[fp64.astype(np.int64)]) & mask).astype(np.int64)
+        ok = True
+        for fp, i1, i2 in zip(
+            fp64.astype(np.uint16).tolist(), i1s.tolist(), i2s.tolist()
+        ):
+            ok &= self._insert(np.uint16(fp), int(i1), int(i2))
+            if not ok:
+                return False
+        return ok
+
+    def _insert(self, fp: np.uint16, i1: int, i2: int) -> bool:
         if self.victim:
             return False  # already overflowed — caller must spill/grow
-        fp, i1, i2 = self._fp_and_buckets(h)
         for i in (i1, i2):
             empty = np.where(self.table[i] == 0)[0]
             if len(empty):
@@ -264,13 +304,14 @@ class CuckooFilter:
         # deterministic eviction walk
         i = i1
         cur = fp
+        fpmix = _fp_mix_table()
         for kick in range(self.MAX_KICKS):
             self._kick_state = _mix64(
                 np.array([(int(self._kick_state) + kick) & 0xFFFFFFFFFFFFFFFF], dtype=np.uint64)
             )[0]
             slot = int(self._kick_state) % self.SLOTS
             cur, self.table[i, slot] = self.table[i, slot], cur
-            fph = int(_mix64(np.array([int(cur)], dtype=np.int64))[0])
+            fph = int(fpmix[int(cur)])
             i = (i ^ fph) & (self.n_buckets - 1)
             empty = np.where(self.table[i] == 0)[0]
             if len(empty):
@@ -360,37 +401,56 @@ class CuckooFilter:
 
 
 def build_cuckoo(hashes: np.ndarray, n_buckets: int = 1 << 10) -> CuckooFilter:
-    """Build a cuckoo filter over int64 hashes, doubling capacity until
-    every add lands (deterministic: same hashes -> same final size and
-    table)."""
+    """Build a cuckoo filter over int64 hashes, presized to ~85% load
+    and doubling capacity until every add lands (deterministic: same
+    hashes -> same final size and table)."""
     hashes = np.asarray(hashes, dtype=np.int64)
+    need = int(len(hashes) / (CuckooFilter.SLOTS * 0.85)) + 1
+    while n_buckets < need:
+        n_buckets *= 2
     while True:
         cf = CuckooFilter(n_buckets)
-        if all(cf.add(int(h)) for h in hashes):
+        if cf.add_many(hashes):
             return cf
         n_buckets *= 2
 
 
-def build_cuckoo_rows(
-    seen_delta: DataFrame, n_shards: int = DEFAULT_SHARDS
+def build_accel_rows(
+    seen_delta: DataFrame,
+    n_shards: int = DEFAULT_SHARDS,
+    m_bits: int = DEFAULT_BITS_PER_SHARD,
+    k: int = DEFAULT_K,
 ) -> DataFrame:
-    """Distributed cuckoo build for the spill tier — the deletable
-    sibling of build_bloom_rows: one (shard, bitmap, n_items) row per
-    shard of the wave's seen-delta, grown-to-fit per shard."""
+    """ONE distributed pass building BOTH accelerator tiers' rows for a
+    wave's seen-delta: per shard, the deletable cuckoo blob (serves the
+    spill window now) and the bloom bitmap (rides along as the
+    precomputed fold input — when this wave later LEAVES the spill
+    window, the driver ORs these bitmaps into the merged bloom with no
+    Spark job and no re-read of the delta). Hashes are sorted before the
+    cuckoo build so the filter bytes are insertion-order-deterministic
+    (replay/resume stays byte-identical)."""
     import pandas as pd
 
     def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-        hs = pdf["url_hash"].to_numpy(dtype=np.int64)
+        hs = np.sort(pdf["url_hash"].to_numpy(dtype=np.int64))
         shard = int(pdf["shard"].iat[0])
         cf = build_cuckoo(hs)
-        rows = [(shard, blob, n) for _s, blob, n in cf.to_rows()]
-        return pd.DataFrame(rows, columns=["shard", "bitmap", "n_items"])
+        bs = BloomShardSet(n_shards, m_bits, k)
+        bs.add_hashes(hs)
+        (_s, bloom_blob, n) = bs.to_rows()[0]
+        return pd.DataFrame(
+            [(shard, cf.to_rows()[0][1], bloom_blob, n)],
+            columns=["shard", "cuckoo", "bloom", "n_items"],
+        )
 
     return (
         seen_delta.select("url_hash")
         .withColumn("shard", F.pmod(F.col("url_hash"), F.lit(n_shards)).cast("int"))
         .groupBy("shard")
-        .applyInPandas(per_shard, schema=BLOOM_SHARDS)
+        .applyInPandas(
+            per_shard,
+            schema="shard int, cuckoo binary, bloom binary, n_items long",
+        )
     )
 
 

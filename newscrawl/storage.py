@@ -171,6 +171,28 @@ class ManifestParquetCatalog:
             snap = None if parent_id is None else self.snapshot(parent_id)
         return []
 
+    def read_rows(self, table: str, cols: list[str]) -> list:
+        """Driver-side read of a SMALL table (accelerator state: bloom
+        shards, spill window — bounded at shards x window rows) straight
+        from the manifest's parquet files via pyarrow. A Spark
+        read+collect of the same rows costs a full job submission
+        (~0.2-0.3 s) per wave for KB-to-MB payloads. Returns namedtuples
+        with the requested columns."""
+        from collections import namedtuple
+
+        import pyarrow.parquet as pq
+
+        Row = namedtuple("Row", cols)
+        out: list = []
+        for path in self.table_files(table):
+            t = pq.read_table(path, columns=list(cols))
+            if t.num_rows:
+                out.extend(
+                    Row(*vals)
+                    for vals in zip(*[t.column(c).to_pylist() for c in cols])
+                )
+        return out
+
     def table_stats(self, table: str) -> dict:
         snap = self.current_snapshot()
         if snap is None:

@@ -81,7 +81,9 @@ def init_crawl(
 
 
 def _load_bloom(spark: SparkSession, catalog: ManifestParquetCatalog) -> seenset.BloomShardSet | None:
-    rows = catalog.read(spark, "bloom_shards", BLOOM_SHARDS).collect()
+    # driver-side pyarrow read: the accelerator tables are bounded
+    # (shards x window rows) and a Spark collect costs a job per wave
+    rows = catalog.read_rows("bloom_shards", ["shard", "bitmap", "n_items"])
     if not rows:
         return None
     return seenset.BloomShardSet.from_rows([(r.shard, r.bitmap, r.n_items) for r in rows])
@@ -95,8 +97,17 @@ def _load_bloom(spark: SparkSession, catalog: ManifestParquetCatalog) -> seenset
 SPILL_WAVES = 2
 
 
+def _load_spill_rows(spark: SparkSession, catalog: ManifestParquetCatalog) -> list:
+    """The spill window's raw rows: cuckoo blobs (prefilter tier) plus
+    each wave's precomputed bloom bitmaps (the fold input)."""
+    return catalog.read_rows(
+        "cuckoo_spill",
+        ["wave_index", "shard", "bitmap", "bloom_bitmap", "n_items"],
+    )
+
+
 def _load_spill(spark: SparkSession, catalog: ManifestParquetCatalog) -> "seenset.CuckooShardSet | None":
-    rows = catalog.read(spark, "cuckoo_spill", CUCKOO_SPILL).collect()
+    rows = _load_spill_rows(spark, catalog)
     if not rows:
         return None
     return seenset.CuckooShardSet.from_rows(
@@ -181,7 +192,14 @@ def run_wave(
     tick("dedup+count")
 
     bloom = _load_bloom(spark, catalog) if use_bloom else None
-    spill = _load_spill(spark, catalog) if use_bloom else None
+    spill_rows = _load_spill_rows(spark, catalog) if use_bloom else []
+    spill = (
+        seenset.CuckooShardSet.from_rows(
+            [(r.wave_index, r.shard, r.bitmap, r.n_items) for r in spill_rows]
+        )
+        if spill_rows
+        else None
+    )
     tick("bloom_load")
     unseen = seenset.antijoin_unseen(cands, seen, bloom, spill)
     unseen = politeness.robots_filter(unseen, robots)
@@ -477,33 +495,18 @@ def run_wave(
                 if media_sink
                 else None
             )
-            # deletable tier: THIS wave's delta becomes cuckoo rows; the
-            # wave LEAVING the spill window folds into the immutable
-            # bloom, read back via per-wave file lineage (bounded delta)
-            f_cuckoo = (
+            # deletable tier: ONE job builds both accelerator artifacts
+            # for this wave's delta — the cuckoo blob (serves the spill
+            # window now) and the bloom bitmap (the precomputed fold
+            # input for when this wave LEAVES the window — the fold is
+            # then a driver-side OR, zero Spark jobs, zero re-reads)
+            f_accel = (
                 pool.submit(
                     timed_job,
-                    "cuckoo_build",
-                    lambda: seenset.build_cuckoo_rows(seen_delta).collect(),
+                    "accel_build",
+                    lambda: seenset.build_accel_rows(seen_delta).collect(),
                 )
                 if use_bloom
-                else None
-            )
-            leaving = wave_index - SPILL_WAVES
-            fold_files = (
-                catalog.files_added_by_wave("seen", leaving)
-                if use_bloom and leaving >= 0
-                else []
-            )
-            f_bloom = (
-                pool.submit(
-                    timed_job,
-                    "bloom_fold",
-                    lambda: seenset.build_bloom_rows(
-                        spark.read.schema(SEEN).parquet(*fold_files)
-                    ).collect(),
-                )
-                if fold_files
                 else None
             )
             n_frontier_next = f_frontier.result()
@@ -517,8 +520,7 @@ def run_wave(
                 f_hosts.result()
             if f_media is not None:
                 f_media.result()
-            cuckoo_delta_rows = f_cuckoo.result() if f_cuckoo is not None else None
-            bloom_fold_rows = f_bloom.result() if f_bloom is not None else None
+            accel_rows = f_accel.result() if f_accel is not None else None
         tick("parallel writes+stats")
 
         n_yielded = sum(r.n for r in stat_rows)
@@ -577,9 +579,11 @@ def run_wave(
         )
 
         if use_bloom:
-            if bloom_fold_rows:
+            leaving = wave_index - SPILL_WAVES
+            fold_rows = [r for r in spill_rows if r.wave_index <= leaving]
+            if fold_rows:
                 merged = seenset.BloomShardSet.from_rows(
-                    [(r.shard, r.bitmap, r.n_items) for r in bloom_fold_rows]
+                    [(r.shard, r.bloom_bitmap, r.n_items) for r in fold_rows]
                 )
                 if bloom is not None:
                     merged.merge(bloom)
@@ -589,15 +593,16 @@ def run_wave(
             # spill window: prior recent-wave rows still inside the
             # window + this wave's rows (the leaving wave's rows drop —
             # their coverage just moved into the bloom)
-            spill_rows = [
-                r for r in (spill.to_rows() if spill is not None else [])
-                if r[0] > leaving
+            new_spill = [
+                (r.wave_index, r.shard, bytes(r.bitmap), bytes(r.bloom_bitmap), r.n_items)
+                for r in spill_rows
+                if r.wave_index > leaving
             ] + [
-                (wave_index, r.shard, r.bitmap, r.n_items)
-                for r in cuckoo_delta_rows
+                (wave_index, r.shard, bytes(r.cuckoo), bytes(r.bloom), r.n_items)
+                for r in accel_rows
             ]
             commit.write_rows(
-                "cuckoo_spill", spill_rows, CUCKOO_SPILL, mode="overwrite"
+                "cuckoo_spill", new_spill, CUCKOO_SPILL, mode="overwrite"
             )
 
         tick("bloom_merge+metrics")

@@ -186,3 +186,29 @@ def test_schema_evolution_reads_old_tables(spark, tmp_path):
     assert len(got) == 1
     assert got[0].url == "https://x.example.com/a"
     assert got[0].topic is None and got[0].locations is None
+
+
+def test_files_added_by_wave_lineage(spark, tmp_path):
+    """Lineage diff: each wave's added seen files, resolved on the LIVE
+    ancestry (a rolled-back wave index must resolve to the new branch)."""
+    cat = ManifestParquetCatalog(str(tmp_path / "lin"))
+    wave.run_crawl(spark, cat, CFG, n_waves=2)
+    f0 = cat.files_added_by_wave("seen", 0)
+    f1 = cat.files_added_by_wave("seen", 1)
+    assert f0 and f1 and not (set(f0) & set(f1))
+    rows0 = spark.read.parquet(*f0).count()
+    rows1 = spark.read.parquet(*f1).count()
+    per_wave = {
+        r.processed_wave: r.cnt
+        for r in wave.read_seen(spark, cat)
+        .groupBy("processed_wave")
+        .count()
+        .withColumnRenamed("count", "cnt")
+        .collect()
+    }
+    assert rows0 == per_wave["w0000"] and rows1 == per_wave["w0001"]
+    post_w0 = cat.snapshot_ids()[1]
+    cat.rollback(post_w0)
+    wave.run_crawl(spark, cat, CFG, n_waves=2)
+    f1b = cat.files_added_by_wave("seen", 1)
+    assert f1b and spark.read.parquet(*f1b).count() == per_wave["w0001"]
