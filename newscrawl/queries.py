@@ -2024,6 +2024,62 @@ GROUP BY doc_id
 """
 
 
+CHUNK_DEDUP_TOKENS = 32
+
+
+def q_chunk_dedup(spark, sf_dir):
+    """Chunk-level (sub-document) exact dedup: split every document into
+    fixed 32-token windows, hash each, report chunks appearing in more
+    than one document with the sorted doc list — the distributed
+    approximation of exact-substring training-data dedup (suffix-array
+    dedup's chunked stand-in; full-document dedup misses these). One
+    explode + one hash agg; the hash space partitions perfectly at any
+    corpus size."""
+    c = CHUNK_DEDUP_TOKENS
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_chunks = F.ceil(F.size(toks) / F.lit(c)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i * c + 1, c))),
+    )
+    return (
+        docs.select("doc_id", F.explode(chunks).alias("chunk_hash"))
+        .groupBy("chunk_hash")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_set("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+SQL_CHUNK_DEDUP = f"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         md5(array_to_string(
+           toks[(i * {CHUNK_DEDUP_TOKENS} + 1):(i * {CHUNK_DEDUP_TOKENS} + {CHUNK_DEDUP_TOKENS})],
+           ' ')) AS chunk_hash
+  FROM d, unnest(range(CAST(ceil(len(toks) / {CHUNK_DEDUP_TOKENS}.0) AS BIGINT))) AS t(i)
+)
+SELECT chunk_hash,
+       count(DISTINCT doc_id) AS n_docs,
+       array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS doc_ids
+FROM c
+GROUP BY chunk_hash
+HAVING count(DISTINCT doc_id) > 1
+"""
+
+
 def q_length_quantiles(spark, sf_dir):
     """Exact interpolated quartiles of document length per language —
     the distribution audit run before picking filter thresholds. Exact
@@ -2434,6 +2490,7 @@ QUERIES = {
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "unigram_surprisal": (q_unigram_surprisal, SQL_UNIGRAM_SURPRISAL),
     "length_quantiles": (q_length_quantiles, SQL_LENGTH_QUANTILES),
+    "chunk_dedup": (q_chunk_dedup, SQL_CHUNK_DEDUP),
     "knn_label_majority": (q_knn_label_majority, SQL_KNN_LABEL_MAJORITY),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     "knn_recall": (q_knn_recall, SQL_KNN_RECALL),
