@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -76,6 +77,8 @@ BENCH_QUERIES = [
     "kmeans_train",
     "knn_ivf_trained",
     "knn_label_majority",
+    "asof_join",
+    "pagerank_sources",
 ]
 
 
@@ -127,12 +130,14 @@ def bench_crawl(spark, scale: int) -> dict:
     # (Python-worker startup, codegen/JIT, first parquet write) are paid
     # before the clock starts — real clusters run with warm executors
     warm_cfg = synth.SynthConfig(n_seed=2, n_total=8, hot_universe=16, n_waves=1)
+    warm_dir = tempfile.mkdtemp(prefix="newscrawl_warm_")
     wave.run_crawl(
         spark,
-        ManifestParquetCatalog(tempfile.mkdtemp(prefix="newscrawl_warm_")),
+        ManifestParquetCatalog(warm_dir),
         warm_cfg,
         pages=synth.build_pages_df(spark, warm_cfg, num_partitions=8),
     )
+    shutil.rmtree(warm_dir, ignore_errors=True)
 
     # best-of-REPS: the sandbox's single shared virtual disk injects
     # multi-x run-to-run interference; the minimum wall time is the
@@ -141,12 +146,17 @@ def bench_crawl(spark, scale: int) -> dict:
     reps = int(os.environ.get("NEWSCRAWL_BENCH_REPS", "2"))
     rep_secs, n_urls, n_waves = [], 0, 0
     for _ in range(max(reps, 1)):
-        catalog = ManifestParquetCatalog(tempfile.mkdtemp(prefix="newscrawl_bench_"))
+        # delete each rep's catalog after timing: a bench-scale catalog
+        # is ~1.3 GB and repeated rounds of un-reclaimed catalogs filled
+        # the sandbox disk to 100% (which then failed the scaling legs)
+        cat_dir = tempfile.mkdtemp(prefix="newscrawl_bench_")
+        catalog = ManifestParquetCatalog(cat_dir)
         t0 = time.perf_counter()
         metrics = wave.run_crawl(spark, catalog, cfg, pages=pages)
         rep_secs.append(time.perf_counter() - t0)
         n_urls = sum(m["n_yielded"] for m in metrics)
         n_waves = len(metrics)
+        shutil.rmtree(cat_dir, ignore_errors=True)
     best_sec = min(rep_secs)
     # record ALL rep times + the rep policy so cross-round deltas can
     # compare like-for-like (min vs min, median vs median), not a min
@@ -189,12 +199,14 @@ def bench_extract_stage(spark, scale: int) -> dict:
     seeds = priority.seed_ord(synth.build_seeds_df(spark, cfg))
     # warmup (python workers, codegen)
     warm_cfg = synth.SynthConfig(n_seed=2, n_total=8, hot_universe=16, n_waves=1)
+    warm_dir = tempfile.mkdtemp(prefix="newscrawl_warm_")
     wave.run_crawl(
         spark,
-        ManifestParquetCatalog(tempfile.mkdtemp(prefix="newscrawl_warm_")),
+        ManifestParquetCatalog(warm_dir),
         warm_cfg,
         pages=synth.build_pages_df(spark, warm_cfg, num_partitions=8),
     )
+    shutil.rmtree(warm_dir, ignore_errors=True)
 
     fetched = pages.select("url", "warc_ts", "html").join(
         F.broadcast(seeds), "url", "inner"
@@ -362,13 +374,16 @@ def parse_wave_timing(stdout: str) -> dict | None:
     done = [b for b in blocks if "commit" in b]
     if not done:
         return None
+    # the first completed block is ALWAYS the warmup crawl (bench_crawl
+    # runs it once before the timed reps) — drop it positionally; a
+    # magnitude heuristic misfires when the warmup hits disk interference
+    if len(done) > 1:
+        done = done[1:]
 
     def phase_total(b: dict) -> float:
         return sum(v for k, v in b.items() if isinstance(v, (int, float)))
 
-    biggest = max(phase_total(b) for b in done)
-    reps = [b for b in done if phase_total(b) > 0.2 * biggest] or done
-    best = min(reps, key=phase_total)
+    best = min(done, key=phase_total)
     data_plane = best.get("extract(materialize)", 0.0)
     res = phase_total(best) - data_plane
     best["data_plane_sec"] = round(data_plane, 2)
@@ -466,22 +481,24 @@ def scaling_report(sf_dir: str, scale: int) -> None:
         # 50-200 KB) so the per-url data plane dominates the per-wave
         # residue the way it does on real pages
         env.setdefault("NEWSCRAWL_BENCH_PARAS", "60")
-        out = subprocess.run(
-            ["taskset", "-c", cpuset, sys.executable, __file__, "--crawl-only"],
-            capture_output=True,
-            text=True,
-            env=env,
-            check=True,
-        )
+        def run_leg(mode: str) -> subprocess.CompletedProcess:
+            p = subprocess.run(
+                ["taskset", "-c", cpuset, sys.executable, __file__, mode],
+                capture_output=True,
+                text=True,
+                env=env,
+            )
+            if p.returncode != 0:
+                # surface the child's failure (a full sandbox disk
+                # produced an opaque CalledProcessError here once)
+                sys.stderr.write(p.stderr[-4000:])
+                p.check_returncode()
+            return p
+
+        out = run_leg("--crawl-only")
         results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
         residue[cpus] = parse_wave_timing(out.stdout)
-        out2 = subprocess.run(
-            ["taskset", "-c", cpuset, sys.executable, __file__, "--extract-stage"],
-            capture_output=True,
-            text=True,
-            env=env,
-            check=True,
-        )
+        out2 = run_leg("--extract-stage")
         results[(cpus, "stage")] = json.loads(out2.stdout.strip().splitlines()[-1])
     (lo, _), (hi, _) = pair
     r8 = results[lo]["crawl"]["urls_per_sec"]
