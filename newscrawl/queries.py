@@ -655,7 +655,9 @@ def q_minhash_lsh_candidates(spark, sf_dir):
     )
 
 
-def _sql_minhash() -> str:
+def _minhash_sql_ctes() -> str:
+    """Shared WITH-prefix (shingles -> signatures -> band keys) for the
+    minhash candidate and estimate oracles."""
     mins = ", ".join(
         f"min(md5('{i}|' || s)) AS h{i}" for i in range(N_MINHASH)
     )
@@ -672,7 +674,11 @@ WITH sh AS (
   SELECT doc_id, {mins} FROM ex GROUP BY doc_id
 ), bands AS (
   {bands}
-)
+)"""
+
+
+def _sql_minhash() -> str:
+    return _minhash_sql_ctes() + """
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
@@ -2027,6 +2033,33 @@ GROUP BY doc_id
 CHUNK_DEDUP_TOKENS = 32
 
 
+def _chunk_hashes(col: str = "text", c: int = CHUNK_DEDUP_TOKENS):
+    """ARRAY<STRING> of md5 hashes of fixed ``c``-token windows of
+    ``col`` — the shared sub-document fingerprint unit for chunk-level
+    dedup and the source-overlap graph. Pure JVM expression tree (split /
+    sequence / transform / slice / md5): rides the scan, codegen'd."""
+    toks = F.split(F.lower(F.trim(F.col(col))), r"\s+")
+    n_chunks = F.ceil(F.size(toks) / F.lit(c)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i * c + 1, c))),
+    )
+
+
+_SQL_CHUNK_CTES = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+), chunks AS (
+  SELECT doc_id, source,
+         md5(array_to_string(
+           toks[(i * {CHUNK_DEDUP_TOKENS} + 1):(i * {CHUNK_DEDUP_TOKENS} + {CHUNK_DEDUP_TOKENS})],
+           ' ')) AS chunk_hash
+  FROM d, unnest(range(CAST(ceil(len(toks) / {CHUNK_DEDUP_TOKENS}.0) AS BIGINT))) AS t(i)
+)"""
+
+
 def q_chunk_dedup(spark, sf_dir):
     """Chunk-level (sub-document) exact dedup: split every document into
     fixed 32-token windows, hash each, report chunks appearing in more
@@ -2035,16 +2068,9 @@ def q_chunk_dedup(spark, sf_dir):
     dedup's chunked stand-in; full-document dedup misses these). One
     explode + one hash agg; the hash space partitions perfectly at any
     corpus size."""
-    c = CHUNK_DEDUP_TOKENS
     docs = _t(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    n_chunks = F.ceil(F.size(toks) / F.lit(c)).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i * c + 1, c))),
-    )
     return (
-        docs.select("doc_id", F.explode(chunks).alias("chunk_hash"))
+        docs.select("doc_id", F.explode(_chunk_hashes()).alias("chunk_hash"))
         .groupBy("chunk_hash")
         .agg(
             F.count_distinct("doc_id").alias("n_docs"),
@@ -2060,21 +2086,11 @@ def q_chunk_dedup(spark, sf_dir):
     )
 
 
-SQL_CHUNK_DEDUP = f"""
-WITH d AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
-  FROM documents
-), c AS (
-  SELECT doc_id,
-         md5(array_to_string(
-           toks[(i * {CHUNK_DEDUP_TOKENS} + 1):(i * {CHUNK_DEDUP_TOKENS} + {CHUNK_DEDUP_TOKENS})],
-           ' ')) AS chunk_hash
-  FROM d, unnest(range(CAST(ceil(len(toks) / {CHUNK_DEDUP_TOKENS}.0) AS BIGINT))) AS t(i)
-)
+SQL_CHUNK_DEDUP = _SQL_CHUNK_CTES + """
 SELECT chunk_hash,
        count(DISTINCT doc_id) AS n_docs,
        array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS doc_ids
-FROM c
+FROM chunks
 GROUP BY chunk_hash
 HAVING count(DISTINCT doc_id) > 1
 """
@@ -2439,6 +2455,241 @@ SQL_ARTICLE_ENTITIES = _sql_article_entities()
 
 
 # ---------------------------------------------------------------------------
+# As-of join, sketch estimates, source-graph rank
+# ---------------------------------------------------------------------------
+
+
+def q_asof_join(spark, sf_dir):
+    """Backward AS-OF join: each ``purchase`` event picks the most
+    recent strictly-preceding ``click`` by the same user, under the
+    (ts, event_id) lexicographic event order. Implemented as union-tag
+    + ONE window pass over user_id — a single shuffle, linear in the
+    event count. A range join would materialize
+    |purchases| x |clicks-in-range| intermediate rows; the window form
+    is the 100-TB-safe as-of pattern (state per user = one running
+    last-click, exactly what Structured Streaming keeps per key)."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prior = w.rowsBetween(W.unboundedPreceding, -1)
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    click_val = F.when(F.col("event_type") == "click", F.col("value"))
+    return (
+        ev.withColumn("click_id", F.last(click_id, ignorenulls=True).over(prior))
+        .withColumn("click_value", F.last(click_val, ignorenulls=True).over(prior))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").cast("timestamp").cast("long").alias("purchase_ts"),
+            F.round("value", 2).alias("purchase_value"),
+            # nullable ids surface as float64 after pandas conversion on
+            # either engine — make the type explicit on both sides
+            F.col("click_id").cast("double").alias("click_id"),
+            F.round("click_value", 2).alias("click_value"),
+        )
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH pc AS (
+  SELECT * FROM events WHERE event_type IN ('purchase', 'click')
+), t AS (
+  SELECT event_id, user_id, ts, event_type, value,
+         last_value(CASE WHEN event_type = 'click' THEN event_id END
+                    IGNORE NULLS) OVER w AS click_id,
+         last_value(CASE WHEN event_type = 'click' THEN value END
+                    IGNORE NULLS) OVER w AS click_value
+  FROM pc
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id AS purchase_id, user_id,
+       -- epoch() is DOUBLE with fractional seconds and CAST..BIGINT
+       -- ROUNDS; Spark's timestamp->long cast TRUNCATES — floor first
+       CAST(floor(epoch(ts)) AS BIGINT) AS purchase_ts,
+       round(value, 2) AS purchase_value,
+       CAST(click_id AS DOUBLE) AS click_id,
+       round(click_value, 2) AS click_value
+FROM t WHERE event_type = 'purchase'
+"""
+
+
+def q_minhash_jaccard_est(spark, sf_dir):
+    """MinHash Jaccard ESTIMATE over the LSH candidate pairs: the
+    fraction of the 8 signature components that agree — the O(1)-per-
+    pair sketch estimate that ranks/filters candidates without touching
+    the shingle sets. At 100 TB this is the cheap middle tier between
+    the band join (recall) and the exact verify (precision): signatures
+    are already materialized, so the estimate costs one tiny join."""
+    sig = _minhash_signatures(spark, sf_dir)
+    cands = q_minhash_lsh_candidates(spark, sf_dir)
+    agree = sum(
+        (F.col(f"sa.h{i}") == F.col(f"sb.h{i}")).cast("int")
+        for i in range(N_MINHASH)
+    )
+    return (
+        cands.join(sig.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sig.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            # k/8 is an exact binary fraction: round(,4) cross-engine-safe
+            F.round(agree / F.lit(float(N_MINHASH)), 4).alias("jaccard_est"),
+        )
+    )
+
+
+def _sql_minhash_est() -> str:
+    agree = " + ".join(
+        f"CAST(sa.h{i} = sb.h{i} AS INT)" for i in range(N_MINHASH)
+    )
+    return _minhash_sql_ctes() + f""",
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       round(({agree}) / CAST({N_MINHASH} AS DOUBLE), 4) AS jaccard_est
+FROM cands c
+JOIN sig sa ON c.doc_a = sa.doc_id
+JOIN sig sb ON c.doc_b = sb.doc_id
+"""
+
+
+SQL_MINHASH_JACCARD_EST = _sql_minhash_est()
+
+
+PAGERANK_ITERS = 3
+PAGERANK_DAMPING = 0.85
+
+
+def q_pagerank_sources(spark, sf_dir):
+    """Source-authority PageRank over the content-overlap graph: nodes
+    are sources, edge weight src->dst = number of distinct 32-token
+    chunk hashes the two sources share (symmetric by construction) —
+    the crawl scheduler's "news score" analog, derived from content
+    instead of hand-seeded. Fixed-count (PAGERANK_ITERS) damped power
+    iterations with 6-dp-quantized iterates so both engines walk the
+    identical float trajectory (the kmeans_train pattern).
+
+    Scale shape: the expensive part (chunk hashing + the hash-bucket
+    self-join that builds the edge list) is fully distributed and
+    partitions on chunk_hash; each iteration is one broadcast join +
+    one groupBy(dst) over the edge list. The rank vector is bounded by
+    node (host) cardinality — localCheckpoint keeps it distributed and
+    cuts lineage; at web scale (10^8 hosts) the same loop runs with the
+    broadcast replaced by a shuffle join on node."""
+    docs = _t(spark, sf_dir, "documents")
+    sc = docs.select(
+        "source", F.explode(_chunk_hashes()).alias("chunk_hash")
+    ).distinct()
+    edges = (
+        sc.alias("x")
+        .join(sc.alias("y"), "chunk_hash")
+        .filter(F.col("x.source") != F.col("y.source"))
+        .groupBy(
+            F.col("x.source").alias("src"), F.col("y.source").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    wsum = edges.groupBy("src").agg(F.sum("w").alias("wsum"))
+    frac = (
+        edges.join(wsum, "src")
+        .select(
+            "src",
+            "dst",
+            (F.col("w").cast("double") / F.col("wsum")).alias("frac"),
+        )
+        .persist()
+    )
+    frac.count()
+    nodes = docs.select(F.col("source").alias("node")).distinct().persist()
+    n = nodes.count()
+    d = PAGERANK_DAMPING
+    teleport = F.lit(1.0 - d) / F.lit(float(n))
+    ranks = nodes.select(
+        "node",
+        (F.round(F.lit(1.0) / F.lit(float(n)), 6) + F.lit(0.0)).alias("rank"),
+    ).localCheckpoint()
+    for _ in range(PAGERANK_ITERS):
+        inflow = (
+            frac.join(F.broadcast(ranks), frac.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("frac")).alias("inflow"))
+        )
+        ranks = (
+            nodes.join(inflow, nodes.node == inflow.dst, "left")
+            .select(
+                "node",
+                (
+                    F.round(
+                        teleport
+                        + F.lit(d) * F.coalesce("inflow", F.lit(0.0)),
+                        6,
+                    )
+                    + F.lit(0.0)
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _sql_pagerank() -> str:
+    d, it = PAGERANK_DAMPING, PAGERANK_ITERS
+    # numeric literals are DECIMAL in DuckDB — cast to DOUBLE so the
+    # arithmetic matches Spark's float64 exactly
+    sql = _SQL_CHUNK_CTES + f""",
+sc AS (
+  SELECT DISTINCT source, chunk_hash FROM chunks
+), e AS (
+  SELECT x.source AS src, y.source AS dst, count(*) AS w
+  FROM sc x JOIN sc y
+    ON x.chunk_hash = y.chunk_hash AND x.source <> y.source
+  GROUP BY 1, 2
+), f AS (
+  SELECT src, dst,
+         CAST(w AS DOUBLE) / CAST(sum(w) OVER (PARTITION BY src) AS DOUBLE)
+           AS frac
+  FROM e
+), nodes AS (
+  SELECT DISTINCT source AS node FROM documents
+), nn AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+), r0 AS (
+  SELECT node, round(CAST(1.0 AS DOUBLE) / (SELECT n FROM nn), 6) + 0.0
+           AS rank
+  FROM nodes
+)"""
+    prev = "r0"
+    for k in range(1, it + 1):
+        sql += f""",
+r{k} AS (
+  SELECT nd.node,
+         round(CAST({1.0 - d!r} AS DOUBLE) / (SELECT n FROM nn)
+               + CAST({d!r} AS DOUBLE)
+                 * coalesce(sum(r.rank * f.frac), CAST(0.0 AS DOUBLE)), 6)
+           + 0.0 AS rank
+  FROM nodes nd
+  LEFT JOIN f ON f.dst = nd.node
+  LEFT JOIN {prev} r ON r.node = f.src
+  GROUP BY nd.node
+)"""
+        prev = f"r{k}"
+    sql += f"""
+SELECT node, round(rank, 6) AS rank FROM {prev}
+"""
+    return sql
+
+
+SQL_PAGERANK_SOURCES = _sql_pagerank()
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -2496,4 +2747,7 @@ QUERIES = {
     "knn_recall": (q_knn_recall, SQL_KNN_RECALL),
     "near_dup_clusters": (q_near_dup_clusters, SQL_NEAR_DUP_CLUSTERS),
     "windowed_counts": (q_windowed_counts, SQL_WINDOWED_COUNTS),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "minhash_jaccard_est": (q_minhash_jaccard_est, SQL_MINHASH_JACCARD_EST),
+    "pagerank_sources": (q_pagerank_sources, SQL_PAGERANK_SOURCES),
 }
