@@ -2636,6 +2636,10 @@ def q_pagerank_sources(spark, sf_dir):
             )
             .localCheckpoint()
         )
+    # the final ranks frame reads only its checkpoint — release the
+    # loop-scoped caches so repeated evaluations don't pin executor memory
+    frac.unpersist()
+    nodes.unpersist()
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 

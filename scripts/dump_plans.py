@@ -137,6 +137,19 @@ def main() -> None:
             "df (vocabulary) side broadcasts into the tf join; one "
             "explode feeds both aggregates.",
         ),
+        (
+            "asof_join",
+            "Backward as-of join as ONE window pass: a single Exchange "
+            "on user_id, then RunningWindowFunction — no range join, no "
+            "per-pair intermediates.",
+        ),
+        (
+            "pagerank_sources",
+            "Final-iteration plan: the rank vector is a localCheckpoint "
+            "scan (bounded by node cardinality) broadcast into the edge "
+            "join; each iteration is one broadcast join + one "
+            "groupBy(dst) over the persisted edge fractions.",
+        ),
     ]:
         fn, _sql = QUERIES[name]
         sections.append((f"query: {name}", note, fmt(fn(spark, SF))))
