@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     "knn_label_majority",
     "asof_join",
     "pagerank_sources",
+    "decontaminate",
+    "repetition_filter",
 ]
 
 

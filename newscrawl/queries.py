@@ -2563,6 +2563,162 @@ JOIN sig sb ON c.doc_b = sb.doc_id
 SQL_MINHASH_JACCARD_EST = _sql_minhash_est()
 
 
+DECON_SHINGLE_TOKENS = 8
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag corpus documents that share any
+    8-token shingle with the held-out eval set (stand-in: doc_id % 29
+    == 0, chosen so the synthetic corpus contains real hits) — the
+    n-gram-overlap check every pretraining pipeline runs
+    before training. Shingle hashes ride the scan as a JVM expression;
+    the benchmark side is DISTINCT shingles of a tiny eval set, so the
+    contamination probe is a broadcast semi-join keyed on the hash —
+    at 100 TB the corpus side streams, nothing wide shuffles."""
+    k = DECON_SHINGLE_TOKENS
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = F.size(toks) - F.lit(k - 1)
+    sh = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = docs.select("doc_id", F.explode(sh).alias("h"))
+    is_bench = F.col("doc_id") % 29 == 0
+    bench = (
+        ex.filter(is_bench).select(F.col("h").alias("bh")).distinct()
+    )
+    hits = (
+        ex.filter(~is_bench)
+        .join(F.broadcast(bench), F.col("h") == F.col("bh"))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("h").alias("n_hits"))
+    )
+    return (
+        docs.filter(~is_bench)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).cast("int").alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+SQL_DECONTAMINATE = f"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         md5(array_to_string(toks[(i + 1):(i + {DECON_SHINGLE_TOKENS})], ' '))
+           AS h
+  FROM d,
+       unnest(range(greatest(len(toks) - {DECON_SHINGLE_TOKENS - 1}, 0)))
+         AS t(i)
+), bench AS (
+  SELECT DISTINCT h FROM sh WHERE doc_id % 29 = 0
+), hits AS (
+  SELECT s.doc_id, count(DISTINCT s.h) AS n_hits
+  FROM sh s JOIN bench b ON s.h = b.h
+  WHERE s.doc_id % 29 <> 0
+  GROUP BY s.doc_id
+)
+SELECT c.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+       CAST(coalesce(h.n_hits, 0) > 0 AS INT) AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 29 <> 0) c
+LEFT JOIN hits h ON c.doc_id = h.doc_id
+"""
+
+
+REP_MAX_DUP_CHUNK_FRAC = 0.30
+REP_MAX_TOP_BIGRAM_FRAC = 0.10
+
+
+def q_repetition_filter(spark, sf_dir):
+    """Gopher-style within-document repetition filter: the fraction of
+    32-token chunks that are duplicates of an earlier chunk in the SAME
+    document, and the fraction of bigram occurrences taken by the most
+    frequent bigram; keep = both under threshold (0.30 dup chunks;
+    0.10 top-bigram — tighter than Gopher's published 0.18 so the
+    synthetic corpus exercises both branches of the gate). dup_chunk_frac is pure scan-side array math (zero
+    shuffle); the bigram mode aggregates on (doc_id, bigram) — keyed by
+    doc so it partitions perfectly at any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    chunks = _chunk_hashes()
+    dup_frac = F.when(
+        F.size(chunks) > 0,
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(chunks)) / F.size(chunks),
+            4,
+        ),
+    ).otherwise(F.lit(0.0))
+    n2 = F.size(toks) - 1
+    bigrams = F.when(
+        n2 > 0,
+        F.transform(
+            F.sequence(F.lit(0), n2 - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = (
+        docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.max("c") / F.sum("c"), 4).alias("top_bigram_frac")
+        )
+    )
+    base = docs.select("doc_id", dup_frac.alias("dup_chunk_frac"))
+    return base.join(bg, "doc_id", "left").select(
+        "doc_id",
+        "dup_chunk_frac",
+        F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+        (
+            (F.col("dup_chunk_frac") <= REP_MAX_DUP_CHUNK_FRAC)
+            & (
+                F.coalesce("top_bigram_frac", F.lit(0.0))
+                <= REP_MAX_TOP_BIGRAM_FRAC
+            )
+        ).cast("int").alias("keep"),
+    )
+
+
+SQL_REPETITION_FILTER = _SQL_CHUNK_CTES + f""",
+cf AS (
+  SELECT doc_id,
+         CASE WHEN count(*) > 0
+              THEN round(CAST(1.0 AS DOUBLE)
+                         - count(DISTINCT chunk_hash) / count(*), 4)
+              ELSE 0.0 END AS dup_chunk_frac
+  FROM chunks GROUP BY doc_id
+), bg AS (
+  SELECT doc_id, array_to_string(toks[(i + 1):(i + 2)], ' ') AS bigram
+  FROM d, unnest(range(greatest(len(toks) - 1, 0))) AS t(i)
+), bc AS (
+  SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2
+), top AS (
+  SELECT doc_id, round(max(c) / sum(c), 4) AS top_bigram_frac
+  FROM bc GROUP BY doc_id
+)
+SELECT cf.doc_id, cf.dup_chunk_frac,
+       coalesce(top.top_bigram_frac, 0.0) AS top_bigram_frac,
+       CAST(cf.dup_chunk_frac <= {REP_MAX_DUP_CHUNK_FRAC}
+            AND coalesce(top.top_bigram_frac, 0.0)
+                <= {REP_MAX_TOP_BIGRAM_FRAC} AS INT) AS keep
+FROM cf LEFT JOIN top ON cf.doc_id = top.doc_id
+"""
+
+
 PAGERANK_ITERS = 3
 PAGERANK_DAMPING = 0.85
 
@@ -2754,4 +2910,6 @@ QUERIES = {
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "minhash_jaccard_est": (q_minhash_jaccard_est, SQL_MINHASH_JACCARD_EST),
     "pagerank_sources": (q_pagerank_sources, SQL_PAGERANK_SOURCES),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "repetition_filter": (q_repetition_filter, SQL_REPETITION_FILTER),
 }
