@@ -102,6 +102,70 @@ class ManifestParquetCatalog:
             n_snaps += 1
         return {"snapshots_removed": n_snaps, "files_removed": n_files}
 
+    def compact(
+        self,
+        spark: SparkSession,
+        table: str,
+        schema: T.StructType,
+        small_file_bytes: int = 64 << 20,
+        target_file_bytes: int = 128 << 20,
+    ) -> dict:
+        """Iceberg RewriteDataFiles analog: bin-pack the table's small
+        data files into ~target-sized files and commit the swap as a new
+        snapshot (same wave index — layout maintenance, not a state
+        change). An append-per-wave table accretes O(shuffle partitions)
+        files every wave; at 100 TB scan planning and per-file open()
+        overhead grow linearly with that count, which is the classic
+        small-file problem. Files >= ``small_file_bytes`` stay in place
+        untouched; rewritten rows are preserved exactly (coalesce — no
+        shuffle). Pre-compaction snapshots still time-travel to the old
+        layout until ``expire_snapshots`` drops them; rollback across
+        the compaction restores it. Returns rewrite counts."""
+        import math
+
+        snap = self.current_snapshot()
+        if snap is None or table not in snap["tables"]:
+            return {"files_rewritten": 0, "files_written": 0, "files_kept": 0}
+        entries = snap["tables"][table]["files"]
+        small = [e for e in entries if e["bytes"] < small_file_bytes]
+        keep = [e for e in entries if e["bytes"] >= small_file_bytes]
+        if len(small) <= 1:
+            return {
+                "files_rewritten": 0,
+                "files_written": 0,
+                "files_kept": len(entries),
+            }
+        df = spark.read.schema(schema).parquet(*[e["path"] for e in small])
+        n_out = max(
+            1, math.ceil(sum(e["bytes"] for e in small) / target_file_bytes)
+        )
+        commit = self.begin()
+        commit.write(table, df.coalesce(n_out), mode="overwrite")
+        # the staged overwrite replaces the table's whole file set —
+        # splice the untouched big files back into the manifest entry
+        tbl, _mode, files, rows = commit._writes[-1]
+        commit._writes[-1] = (
+            tbl,
+            "overwrite",
+            keep + files,
+            sum(e["rows"] for e in keep) + rows,
+        )
+        commit.commit(
+            f"compact-{table}",
+            snap.get("wave_index", -1),
+            metrics={
+                "maintenance": "compact",
+                "table": table,
+                "files_rewritten": len(small),
+                "files_written": len(files),
+            },
+        )
+        return {
+            "files_rewritten": len(small),
+            "files_written": len(files),
+            "files_kept": len(keep),
+        }
+
     def rollback(self, snapshot_id: int) -> dict:
         """Point the catalog back at an earlier snapshot (Iceberg
         rollback semantics): later snapshots' data files become orphans,

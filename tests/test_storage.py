@@ -212,3 +212,55 @@ def test_files_added_by_wave_lineage(spark, tmp_path):
     wave.run_crawl(spark, cat, CFG, n_waves=2)
     f1b = cat.files_added_by_wave("seen", 1)
     assert f1b and spark.read.parquet(*f1b).count() == per_wave["w0001"]
+
+
+def test_compact_rewrites_small_files(spark, tmp_path):
+    """Compaction (RewriteDataFiles analog): rows byte-identical, file
+    count collapses, wave index preserved, time travel to the
+    pre-compaction layout still works, and resume after compaction is
+    a no-op (maintenance is not state change)."""
+    cat = ManifestParquetCatalog(str(tmp_path / "cp"))
+    wave.run_crawl(spark, cat, CFG, n_waves=3)
+    want = sorted(
+        (r.url, r.wave_id, r.fingerprint)
+        for r in wave.read_articles(spark, cat).collect()
+    )
+    pre_ids = cat.snapshot_ids()
+    pre_files = cat.table_files("articles")
+    assert len(pre_files) > 1  # append-per-wave accreted several files
+    res = cat.compact(spark, "articles", wave.ARTICLES)
+    assert res["files_rewritten"] == len(pre_files)
+    assert res["files_written"] < len(pre_files)
+    # live rows identical, layout collapsed
+    got = sorted(
+        (r.url, r.wave_id, r.fingerprint)
+        for r in wave.read_articles(spark, cat).collect()
+    )
+    assert got == want
+    assert len(cat.table_files("articles")) == res["files_written"]
+    # maintenance snapshot: wave index unchanged -> resume is a no-op
+    snap = cat.current_snapshot()
+    assert snap["wave_index"] == 2
+    assert snap["metrics"]["maintenance"] == "compact"
+    assert wave.run_crawl(spark, cat, CFG, n_waves=3) == []
+    # time travel to the pre-compaction snapshot reads the OLD files
+    assert cat.table_files("articles", snapshot_id=pre_ids[-1]) == pre_files
+    old = cat.read(spark, "articles", wave.ARTICLES, snapshot_id=pre_ids[-1])
+    assert sorted(
+        (r.url, r.wave_id, r.fingerprint) for r in old.collect()
+    ) == want
+    # a second compaction finds nothing to do at a huge small-file bound?
+    # no — everything is still "small" at the default threshold, but a
+    # single already-compacted file is left alone
+    if len(cat.table_files("articles")) == 1:
+        res2 = cat.compact(spark, "articles", wave.ARTICLES)
+        assert res2["files_rewritten"] == 0
+    # expiry then reclaims the rewritten-away originals
+    res3 = cat.expire_snapshots(keep_last=1)
+    assert res3["files_removed"] > 0
+    assert wave.crawl_order(spark, cat) is not None
+    got2 = sorted(
+        (r.url, r.wave_id, r.fingerprint)
+        for r in wave.read_articles(spark, cat).collect()
+    )
+    assert got2 == want
