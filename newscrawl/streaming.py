@@ -163,6 +163,36 @@ def windowed_host_counts(
     )
 
 
+def session_counts_stream(
+    pages_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming gap-sessionization with the NATIVE session_window: one
+    session row per (host, burst of captures separated by < gap),
+    emitted once when the watermark closes the session. This is the
+    streaming twin of the batch lag+cumsum sessionization
+    (queries.q_sessionization) — same gap semantics, but state is a
+    single open session per key that session_window merges and expires
+    by watermark, so memory is bounded by live keys, not history.
+    Use with outputMode("append")."""
+    return (
+        pages_stream.withWatermark("warc_ts", watermark)
+        .select(
+            F.regexp_extract("url", r"^https?://([^/]+)", 1).alias("host"),
+            "warc_ts",
+        )
+        .groupBy(F.session_window("warc_ts", gap).alias("sess"), "host")
+        .agg(F.count("*").alias("n_pages"))
+        .select(
+            "host",
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_pages",
+        )
+    )
+
+
 def stateful_dedup_stream(pages_stream: DataFrame) -> DataFrame:
     """Streaming DataFrame of first-ever occurrences of each url,
     grouped by host so state shards horizontally (each host's seen-set

@@ -46,6 +46,13 @@ def main() -> None:
         help="commit a per-wave media_features table (typed features + "
         "resize plan over the fetched payloads; payloads never persisted)",
     )
+    ap.add_argument(
+        "--compact",
+        action="store_true",
+        help="after the run, bin-pack each state table's small data "
+        "files (RewriteDataFiles analog) and expire all but the last "
+        "2 snapshots — the standard table-maintenance loop",
+    )
     ap.add_argument("--synth-seed", type=int, default=8, help="synthetic seeds per section (when no --pages)")
     ap.add_argument("--synth-total", type=int, default=240, help="synthetic universe per section")
     args = ap.parse_args()
@@ -86,6 +93,17 @@ def main() -> None:
     )
     for m in metrics:
         print(json.dumps(m))
+    if args.compact:
+        from newscrawl import schema as sch
+
+        for table, tschema in (
+            ("articles", sch.ARTICLES),
+            ("seen", sch.SEEN),
+            ("frontier", sch.FRONTIER),
+        ):
+            res = catalog.compact(spark, table, tschema)
+            print(json.dumps({"maintenance": "compact", "table": table, **res}))
+        print(json.dumps({"maintenance": "expire", **catalog.expire_snapshots(keep_last=2)}))
     spark.stop()
 
 

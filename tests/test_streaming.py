@@ -203,3 +203,73 @@ def test_stream_crawl_forwards_webhook_and_scheduler(spark, tmp_path):
         b"sk", r.payload.encode(), hashlib.sha256
     ).hexdigest()
     assert catalog.read(spark, "host_state", HOST_STATE).count() > 0
+
+
+def test_session_window_stream_merges_and_drops_late(spark, tmp_path):
+    """Native session_window streaming: events within the gap merge into
+    ONE session (end = last event + gap), the session emits exactly once
+    after the watermark passes its end, and a late event cannot re-open
+    a closed session."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from newscrawl.schema import PAGES
+
+    src = tmp_path / "pages_in"
+    src.mkdir()
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def page(url, minutes):
+        return (url, base + dt.timedelta(minutes=minutes), b"<html/>", "t", "en")
+
+    # batch 1: three host-a captures 10 min apart -> ONE session
+    # [0, 20+gap=50); the minute-200 row advances the watermark to 140
+    b1 = [
+        page("https://a.example.com/1", 0),
+        page("https://a.example.com/2", 10),
+        page("https://a.example.com/3", 20),
+        page("https://adv.example.com/w", 200),
+    ]
+    # batch 2: on-time row; processing it closes a's session (the late-
+    # event filter lags the eviction watermark by one micro-batch)
+    b2 = [page("https://adv.example.com/w2", 201)]
+    # batch 3: late host-a capture at minute 5 — far behind the
+    # watermark -> dropped; the closed session must not re-emit
+    b3 = [page("https://a.example.com/late", 5)]
+    for i, (name, rows) in enumerate((("b1", b1), ("b2", b2), ("b3", b3))):
+        stage = tmp_path / f"stage_{name}"
+        spark.createDataFrame(rows, schema=PAGES).coalesce(1).write.parquet(
+            str(stage)
+        )
+        part = glob.glob(str(stage / "part-*.parquet"))[0]
+        dst = str(src / f"{name}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1000 + i * 100, 1000 + i * 100))
+
+    stream = (
+        spark.readStream.schema(PAGES)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming.session_counts_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sess_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM sess_counts").collect()
+    by_host = {r.host: r for r in rows}
+    # exactly one emitted session: host a's, merged across all 3 events
+    assert set(by_host) == {"a.example.com"}
+    a = by_host["a.example.com"]
+    assert a.n_pages == 3
+    assert a.session_start == base
+    assert a.session_end == base + dt.timedelta(minutes=50)
+    # adv's session is still open (watermark has not passed its end)
+    assert len(rows) == 1
