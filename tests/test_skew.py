@@ -1,0 +1,76 @@
+"""Salted hot-key decompositions: row-identical to the naive plans."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from newscrawl import skew
+
+
+def _skewed_candidates(spark):
+    """A Zipfian candidate set: one hot host owns ~80% of the urls."""
+    rows = []
+    for i in range(2000):
+        rows.append((f"https://hot.example.com/p{i}", "hot.example.com", i % 37))
+    for h in range(40):
+        for i in range(10):
+            rows.append(
+                (f"https://h{h}.example.com/p{i}", f"h{h}.example.com", (h + i) % 37)
+            )
+    return spark.createDataFrame(rows, "url string, host string, score int")
+
+
+def test_salted_topk_equals_naive(spark):
+    df = _skewed_candidates(spark)
+    order = ["score", "url"]  # total order (url tie-break) -> deterministic
+    from pyspark.sql import Window as W
+
+    naive = (
+        df.withColumn(
+            "_rn",
+            F.row_number().over(W.partitionBy("host").orderBy("score", "url")),
+        )
+        .filter(F.col("_rn") <= 5)
+        .drop("_rn")
+    )
+    salted = skew.salted_topk(df, "host", order, 5, "url", n_salt=8)
+    want = sorted(map(tuple, naive.collect()))
+    got = sorted(map(tuple, salted.collect()))
+    assert got == want
+    # every host (hot included) returns exactly min(5, n_rows) rows
+    per_host = {r["host"]: r["n"] for r in
+                salted.groupBy("host").agg(F.count("*").alias("n")).collect()}
+    assert per_host["hot.example.com"] == 5
+
+
+def test_salted_topk_stage1_bounds_group_size(spark):
+    """No stage-1 group holds the whole hot key: the (key, salt)
+    subgroups split the hot host's rows across all salts."""
+    df = skew.with_salt(_skewed_candidates(spark), "url", 8)
+    sizes = (
+        df.filter(F.col("host") == "hot.example.com")
+        .groupBy("_salt")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert len(sizes) == 8  # hot key present in every salt bucket
+    assert max(r["n"] for r in sizes) < 2000 * 0.25  # far below whole-key
+
+
+def test_salted_join_equals_plain(spark):
+    facts = _skewed_candidates(spark)
+    dim = facts.select("host").distinct().withColumn(
+        "budget", (F.length("host") % 7).cast("int")
+    )
+    plain = facts.join(dim, "host")
+    salted = skew.salted_join(facts, dim, "host", "url", n_salt=8)
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    assert set(salted.columns) == set(plain.columns)
+
+
+def test_salt_is_deterministic(spark):
+    a = skew.with_salt(_skewed_candidates(spark), "url", 16).collect()
+    b = skew.with_salt(_skewed_candidates(spark), "url", 16).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
