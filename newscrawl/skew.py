@@ -19,9 +19,10 @@ two-stage salted decomposition for exactly those shapes, with the salt
 DERIVED (deterministic, data-dependent) rather than random, so results
 are replayable.
 
-Used/tested against the crawl's own hot-host fixtures; the scheduler's
-budget gate (politeness.budget_gate) bounds per-host yield but the
-pre-gate candidate ranking still sees the raw skew.
+The engine's own hot path already applies this decomposition:
+politeness.budget_gate ranks within (host, salt) and pre-prunes before
+the exact per-host re-rank. These helpers generalize that pattern for
+ad-hoc per-key top-k and skewed dim joins.
 """
 
 from __future__ import annotations
