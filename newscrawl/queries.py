@@ -2563,6 +2563,24 @@ JOIN sig sb ON c.doc_b = sb.doc_id
 SQL_MINHASH_JACCARD_EST = _sql_minhash_est()
 
 
+def _quantized_df(spark, sf_dir):
+    """(vec_id, embedding, _scale, qv): int8 max-abs quantization as
+    scan-side JVM expressions. Internal name "_scale": Spark 4 resolves
+    column refs LATERALLY against sibling select aliases, so an output
+    alias round(...,6) AS scale would silently shadow the raw scale for
+    later expressions in the same select (observed: mae off by 0.4%)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    absmax = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+    scale = F.when(absmax > 0, absmax / F.lit(127.0)).otherwise(F.lit(1.0))
+    df = emb.select("vec_id", "embedding", scale.alias("_scale"))
+    return df.withColumn(
+        "qv",
+        F.transform(
+            "embedding", lambda x: F.round(x / F.col("_scale")).cast("int")
+        ),
+    )
+
+
 def q_embedding_quantize(spark, sf_dir):
     """Int8 max-abs quantization of the embedding column — the storage
     form real vector pipelines keep for ANN at scale (4x smaller,
@@ -2571,18 +2589,7 @@ def q_embedding_quantize(spark, sf_dir):
     embarrassingly parallel at any corpus size. Reports a checksum of
     the quantized codes plus the error so the oracle pins the exact
     quantization, not just its shape."""
-    emb = _t(spark, sf_dir, "embeddings")
-    absmax = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
-    scale = F.when(absmax > 0, absmax / F.lit(127.0)).otherwise(F.lit(1.0))
-    # internal name "_scale": Spark 4 resolves column refs LATERALLY
-    # against sibling select aliases, so an output alias
-    # round(...,6) AS scale would silently shadow the raw scale inside
-    # the mae lambda below (observed: mae off by 0.4%)
-    df = emb.select("vec_id", "embedding", scale.alias("_scale"))
-    q = F.transform(
-        "embedding", lambda x: F.round(x / F.col("_scale")).cast("int")
-    )
-    df = df.withColumn("qv", q)
+    df = _quantized_df(spark, sf_dir)
     mae = (
         F.aggregate(
             F.zip_with(
@@ -2606,7 +2613,7 @@ def q_embedding_quantize(spark, sf_dir):
     )
 
 
-SQL_EMBEDDING_QUANTIZE = """
+_SQL_QUANTIZE_CTES = """
 WITH s AS (
   SELECT vec_id, embedding,
          CASE WHEN list_max(list_transform(embedding, x -> abs(x))) > 0
@@ -2614,13 +2621,16 @@ WITH s AS (
                         AS DOUBLE) / CAST(127 AS DOUBLE)
               ELSE CAST(1.0 AS DOUBLE) END AS scale
   FROM embeddings
-), q AS (
+), qz AS (
   SELECT vec_id, embedding, scale,
          list_transform(
            embedding,
            x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INT)) AS qv
   FROM s
-)
+)"""
+
+
+SQL_EMBEDDING_QUANTIZE = _SQL_QUANTIZE_CTES + """
 SELECT vec_id,
        len(qv) AS n_dims,
        round(scale, 6) AS scale,
@@ -2629,8 +2639,79 @@ SELECT vec_id,
                range(len(qv)),
                i -> abs(CAST(embedding[i + 1] AS DOUBLE)
                         - qv[i + 1] * scale))) / len(qv), 6) AS mae
-FROM q
+FROM qz
 """
+
+
+def q_knn_quantized(spark, sf_dir):
+    """Search over the int8 codes: brute-force cosine top-10 computed
+    entirely on the quantized vectors (the per-vector scales cancel in
+    cosine, so this is exactly the integer-code similarity an int8 ANN
+    index serves), with a per-row flag marking membership in the exact
+    float top-10 — row-level recall evidence that int8 is (or isn't)
+    good enough at the index's precision. Integer dot products are
+    exact, so both engines agree bit-for-bit."""
+    qdf = _quantized_df(spark, sf_dir)
+    qrow = qdf.filter(F.col("vec_id") == 0).select("qv").head()
+    qlit = F.array(*[F.lit(int(x)) for x in qrow[0]])
+
+    def dot(u, v):
+        return F.aggregate(
+            F.zip_with(u, v, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cos_q = dot(F.col("qv"), qlit) / (
+        F.sqrt(dot(F.col("qv"), F.col("qv"))) * F.sqrt(dot(qlit, qlit))
+    )
+    top = (
+        qdf.filter(F.col("vec_id") != 0)
+        .select("vec_id", cos_q.alias("cq"))
+        .orderBy(F.round(F.col("cq"), 6).desc(), F.col("vec_id"))
+        .limit(10)
+    )
+    exact = q_knn_cosine(spark, sf_dir).select(
+        "vec_id", F.lit(1).alias("_in")
+    )
+    return top.join(exact, "vec_id", "left").select(
+        "vec_id",
+        F.round("cq", 4).alias("cosine_q"),
+        F.coalesce("_in", F.lit(0)).alias("in_exact_topk"),
+    )
+
+
+# the exact-top-10 subquery is SQL_KNN_COSINE verbatim (DuckDB allows a
+# WITH inside a parenthesized subquery; its inner CTE names are scoped
+# to the subquery). Outer CTEs use qz/scored_q to avoid any shadowing.
+SQL_KNN_QUANTIZED = (
+    _SQL_QUANTIZE_CTES
+    + """,
+q0 AS (
+  SELECT list_transform(qv, x -> CAST(x AS DOUBLE)) AS qv0
+  FROM qz WHERE vec_id = 0
+), scored_q AS (
+  SELECT vec_id,
+         list_dot_product(list_transform(qv, x -> CAST(x AS DOUBLE)), q0.qv0)
+         / (sqrt(list_dot_product(list_transform(qv, x -> CAST(x AS DOUBLE)),
+                                  list_transform(qv, x -> CAST(x AS DOUBLE))))
+            * sqrt(list_dot_product(q0.qv0, q0.qv0))) AS cq
+  FROM qz, q0
+  WHERE vec_id <> 0
+), top AS (
+  SELECT vec_id, cq FROM scored_q
+  ORDER BY round(cq, 6) DESC, vec_id
+  LIMIT 10
+), exact AS (
+  SELECT vec_id FROM ("""
+    + SQL_KNN_COSINE
+    + """) x
+)
+SELECT t.vec_id, round(t.cq, 4) AS cosine_q,
+       CAST(e.vec_id IS NOT NULL AS INT) AS in_exact_topk
+FROM top t LEFT JOIN exact e ON t.vec_id = e.vec_id
+"""
+)
 
 
 DECON_SHINGLE_TOKENS = 8
@@ -2983,4 +3064,5 @@ QUERIES = {
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "repetition_filter": (q_repetition_filter, SQL_REPETITION_FILTER),
     "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
+    "knn_quantized": (q_knn_quantized, SQL_KNN_QUANTIZED),
 }
