@@ -2727,7 +2727,9 @@ def q_decontaminate(spark, sf_dir):
     contamination probe is a broadcast semi-join keyed on the hash —
     at 100 TB the corpus side streams, nothing wide shuffles."""
     k = DECON_SHINGLE_TOKENS
-    docs = _t(spark, sf_dir, "documents")
+    # _spread: the md5-per-shingle expression is CPU-heavy and the
+    # small single-file scan would otherwise run it on one core
+    docs = _spread(_t(spark, sf_dir, "documents"))
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     n = F.size(toks) - F.lit(k - 1)
     sh = F.when(
@@ -2798,48 +2800,61 @@ def q_repetition_filter(spark, sf_dir):
     document, and the fraction of bigram occurrences taken by the most
     frequent bigram; keep = both under threshold (0.30 dup chunks;
     0.10 top-bigram — tighter than Gopher's published 0.18 so the
-    synthetic corpus exercises both branches of the gate). dup_chunk_frac is pure scan-side array math (zero
-    shuffle); the bigram mode aggregates on (doc_id, bigram) — keyed by
-    doc so it partitions perfectly at any corpus size."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    chunks = _chunk_hashes()
-    dup_frac = F.when(
-        F.size(chunks) > 0,
-        F.round(
-            F.lit(1.0)
-            - F.size(F.array_distinct(chunks)) / F.size(chunks),
-            4,
-        ),
-    ).otherwise(F.lit(0.0))
-    n2 = F.size(toks) - 1
-    bigrams = F.when(
-        n2 > 0,
-        F.transform(
-            F.sequence(F.lit(0), n2 - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    bg = (
-        docs.select("doc_id", F.explode(bigrams).alias("bigram"))
-        .groupBy("doc_id", "bigram")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.round(F.max("c") / F.sum("c"), 4).alias("top_bigram_frac")
-        )
-    )
-    base = docs.select("doc_id", dup_frac.alias("dup_chunk_frac"))
-    return base.join(bg, "doc_id", "left").select(
-        "doc_id",
-        "dup_chunk_frac",
-        F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
-        (
-            (F.col("dup_chunk_frac") <= REP_MAX_DUP_CHUNK_FRAC)
-            & (
-                F.coalesce("top_bigram_frac", F.lit(0.0))
-                <= REP_MAX_TOP_BIGRAM_FRAC
+    synthetic corpus exercises both branches of the gate).
+
+    Both statistics are strictly per-document, so they compute in ONE
+    Arrow kernel riding the scan — zero shuffle, embarrassingly
+    parallel (the first cut exploded ~500 bigram rows per doc into a
+    two-stage string-keyed shuffle: 4.4 s vs 0.4 s at sf0.1, and the
+    shuffle volume would scale with the corpus). The kernel emits RAW
+    float64 ratios; rounding happens JVM-side so the decimal-boundary
+    semantics (HALF_UP of the exact binary value) match the oracle
+    exactly — IEEE division of the same ints is identical in C and
+    Java, so the raw doubles agree bit-for-bit."""
+    import re
+
+    import pandas as pd
+
+    c = CHUNK_DEDUP_TOKENS
+
+    def kernel(batch_iter):
+        for pdf in batch_iter:
+            ids, dups, bgs = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = re.split(r"\s+", (text or "").strip().lower())
+                chunks = [
+                    " ".join(toks[i : i + c]) for i in range(0, len(toks), c)
+                ]
+                dup = (
+                    1.0 - len(set(chunks)) / len(chunks) if chunks else 0.0
+                )
+                if len(toks) > 1:
+                    counts: dict = {}
+                    prev = toks[0]
+                    for t in toks[1:]:
+                        key = prev + " " + t
+                        counts[key] = counts.get(key, 0) + 1
+                        prev = t
+                    bg = max(counts.values()) / (len(toks) - 1)
+                else:
+                    bg = 0.0
+                ids.append(doc_id)
+                dups.append(dup)
+                bgs.append(bg)
+            yield pd.DataFrame(
+                {"doc_id": ids, "_dup": dups, "_bg": bgs}
             )
+
+    raw = _spread(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ).mapInPandas(kernel, schema="doc_id long, _dup double, _bg double")
+    return raw.select(
+        "doc_id",
+        F.round("_dup", 4).alias("dup_chunk_frac"),
+        F.round("_bg", 4).alias("top_bigram_frac"),
+        (
+            (F.round("_dup", 4) <= REP_MAX_DUP_CHUNK_FRAC)
+            & (F.round("_bg", 4) <= REP_MAX_TOP_BIGRAM_FRAC)
         ).cast("int").alias("keep"),
     )
 
@@ -2890,7 +2905,7 @@ def q_pagerank_sources(spark, sf_dir):
     node (host) cardinality — localCheckpoint keeps it distributed and
     cuts lineage; at web scale (10^8 hosts) the same loop runs with the
     broadcast replaced by a shuffle join on node."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _spread(_t(spark, sf_dir, "documents"))
     sc = docs.select(
         "source", F.explode(_chunk_hashes()).alias("chunk_hash")
     ).distinct()
