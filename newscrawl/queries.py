@@ -963,6 +963,121 @@ LIMIT 10
 """
 
 
+KNN_IVF_PROBES = 2
+
+
+def q_knn_ivf_multiprobe(spark, sf_dir):
+    """Multi-probe IVF: search the query's nearest KNN_IVF_PROBES
+    centroid buckets instead of one — the standard recall knob of a
+    production IVF index (cost scales with probes/K, recall approaches
+    brute force). Output marks each hit's membership in the exact float
+    top-10 so the recall gain over single-probe is visible row-level."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.filter(
+        (F.col("vec_id") >= 1) & (F.col("vec_id") <= 8)
+    ).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+
+    def dot(u, v):
+        return F.aggregate(
+            F.zip_with(u, v, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cos = dot(F.col("embedding"), F.col("cvec")) / (
+        F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(dot(F.col("cvec"), F.col("cvec")))
+    )
+    w = W.partitionBy("vec_id").orderBy(
+        F.round(cos, 6).desc(), F.col("cent_id")
+    )
+    ranked = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "rnk", F.row_number().over(w)
+    )
+    assigned = ranked.filter(F.col("rnk") == 1).select(
+        "vec_id", "embedding", F.col("cent_id").alias("bucket")
+    )
+    qbuckets = [
+        r["cent_id"]
+        for r in ranked.filter(
+            (F.col("vec_id") == 0) & (F.col("rnk") <= KNN_IVF_PROBES)
+        )
+        .select("cent_id")
+        .collect()
+    ]
+    qrow = emb.filter(F.col("vec_id") == 0).head()
+    qlit = F.array(*[F.lit(float(x)) for x in qrow["embedding"]])
+    qcos = dot(F.col("embedding"), qlit) / (
+        F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(dot(qlit, qlit))
+    )
+    top = (
+        assigned.filter(
+            F.col("bucket").isin(qbuckets) & (F.col("vec_id") != 0)
+        )
+        .select("vec_id", qcos.alias("cos_raw"))
+        .orderBy(F.round("cos_raw", 6).desc(), F.col("vec_id"))
+        .limit(10)
+    )
+    exact = q_knn_cosine(spark, sf_dir).select(
+        "vec_id", F.lit(1).alias("_in")
+    )
+    return top.join(exact, "vec_id", "left").select(
+        "vec_id",
+        F.round("cos_raw", 4).alias("cosine"),
+        F.coalesce("_in", F.lit(0)).alias("in_exact_topk"),
+    )
+
+
+# outer CTEs avoid the names (q, scored) used inside the spliced
+# SQL_KNN_COSINE subquery
+SQL_KNN_IVF_MULTIPROBE = (
+    f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), cents AS (
+  SELECT vec_id AS cent_id, v AS cvec FROM e WHERE vec_id BETWEEN 1 AND 8
+), ranked AS (
+  SELECT e.vec_id, e.v, c.cent_id AS bucket,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round(list_dot_product(e.v, c.cvec)
+                          / (sqrt(list_dot_product(e.v, e.v))
+                             * sqrt(list_dot_product(c.cvec, c.cvec))), 6)
+                    DESC,
+                    c.cent_id
+         ) AS rnk
+  FROM e CROSS JOIN cents c
+), assigned AS (
+  SELECT vec_id, v, bucket FROM ranked WHERE rnk = 1
+), qb AS (
+  SELECT bucket FROM ranked WHERE vec_id = 0 AND rnk <= {KNN_IVF_PROBES}
+), qq AS (
+  SELECT v AS qv FROM e WHERE vec_id = 0
+), top AS (
+  SELECT a.vec_id,
+         list_dot_product(a.v, qq.qv)
+         / (sqrt(list_dot_product(a.v, a.v))
+            * sqrt(list_dot_product(qq.qv, qq.qv))) AS cr
+  FROM assigned a, qq
+  WHERE a.bucket IN (SELECT bucket FROM qb) AND a.vec_id <> 0
+  ORDER BY round(cr, 6) DESC, a.vec_id
+  LIMIT 10
+), exact AS (
+  SELECT vec_id FROM ("""
+    + SQL_KNN_COSINE
+    + """) x
+)
+SELECT t.vec_id, round(t.cr, 4) AS cosine,
+       CAST(e2.vec_id IS NOT NULL AS INT) AS in_exact_topk
+FROM top t LEFT JOIN exact e2 ON t.vec_id = e2.vec_id
+"""
+)
+
+
 def q_knn_recall(spark, sf_dir):
     """ANN quality eval: recall@10 of the IVF-bucketed search against
     the brute-force ground truth for the same query vector — the metric
@@ -3080,4 +3195,5 @@ QUERIES = {
     "repetition_filter": (q_repetition_filter, SQL_REPETITION_FILTER),
     "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     "knn_quantized": (q_knn_quantized, SQL_KNN_QUANTIZED),
+    "knn_ivf_multiprobe": (q_knn_ivf_multiprobe, SQL_KNN_IVF_MULTIPROBE),
 }
