@@ -150,6 +150,19 @@ def main() -> None:
             "join; each iteration is one broadcast join + one "
             "groupBy(dst) over the persisted edge fractions.",
         ),
+        (
+            "decontaminate",
+            "Contamination probe as a BroadcastHashJoin: the eval set's "
+            "distinct shingles broadcast; the corpus side streams its "
+            "scan-side shingle hashes through with no wide shuffle.",
+        ),
+        (
+            "repetition_filter",
+            "Both repetition statistics in ONE Arrow kernel riding the "
+            "scan (ArrowEvalPython/MapInPandas) — zero Exchange in the "
+            "whole plan; rounding and the keep gate are scan-side "
+            "projections.",
+        ),
     ]:
         fn, _sql = QUERIES[name]
         sections.append((f"query: {name}", note, fmt(fn(spark, SF))))
