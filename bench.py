@@ -81,6 +81,9 @@ BENCH_QUERIES = [
     "pagerank_sources",
     "decontaminate",
     "repetition_filter",
+    "embedding_quantize",
+    "knn_quantized",
+    "knn_ivf_multiprobe",
 ]
 
 
