@@ -80,10 +80,14 @@ def _crawl_wave_articles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # crawl_wave_articles FIRST: the driver checks only the first 50 entries
+    # in insertion order, and this composite engine row (rows-only check) must
+    # never fall outside that window again (absent from CORRECTNESS_r01-r03).
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-        name: fn for name, (fn, _sql) in QUERIES.items()
+        "crawl_wave_articles": _crawl_wave_articles
     }
-    out["crawl_wave_articles"] = _crawl_wave_articles
+    for name, (fn, _sql) in QUERIES.items():
+        out[name] = fn
     return out
 
 
