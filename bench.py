@@ -265,17 +265,23 @@ def load_prev_bench() -> tuple[str, dict] | None:
     return os.path.basename(latest), parsed if isinstance(parsed, dict) else None
 
 
-def delta_vs_prev(crawl: dict, qs: dict) -> dict | None:
+def delta_vs_prev(crawl: dict, qs: dict, qs_med: dict | None = None) -> dict | None:
     """Per-query wall-time deltas (sec, negative = faster) and crawl
     throughput ratio vs the previous round's bench — regressions surface
-    automatically in every BENCH_r{N}.json."""
+    automatically in every BENCH_r{N}.json.  Deltas compare median-vs-
+    median when both rounds recorded medians (single-run timings on the
+    shared sandbox disk are multi-x noisy); the basis is disclosed."""
     prev = load_prev_bench()
     if not prev or prev[1] is None:
         return None
     name, parsed = prev
     out = {"vs": name, "queries_sec": {}}
-    prev_q = parsed.get("queries") or {}
-    for k, v in qs.items():
+    prev_med = parsed.get("queries_median") or {}
+    use_median = bool(prev_med) and bool(qs_med)
+    out["queries_delta_basis"] = "median-vs-median" if use_median else "headline(min)"
+    this_q = qs_med if use_median else qs
+    prev_q = prev_med if use_median else (parsed.get("queries") or {})
+    for k, v in this_q.items():
         if k in prev_q:
             out["queries_sec"][k] = round(v - prev_q[k], 3)
     prev_rate = (parsed.get("crawl") or {}).get("urls_per_sec")
@@ -289,23 +295,40 @@ def delta_vs_prev(crawl: dict, qs: dict) -> dict | None:
             "this": crawl.get("rep_policy", "single-run"),
             "prev": (parsed.get("crawl") or {}).get("rep_policy", "single-run"),
         }
+        # like-for-like trend: min AND median series side by side, so
+        # round-over-round deltas are unambiguous about their basis
+        pc = parsed.get("crawl") or {}
+        out["crawl_trend_sec"] = {
+            "this": {"min": crawl.get("sec"), "median": crawl.get("sec_median")},
+            "prev": {"min": pc.get("sec"), "median": pc.get("sec_median")},
+        }
     return out
 
 
-def bench_queries(spark, sf_dir: str) -> dict:
+def bench_queries(spark, sf_dir: str) -> tuple[dict, dict, str]:
+    """Per-query wall time, best-of-REPS (same policy as the crawl side —
+    single-run timings on the shared virtual sandbox disk vary multi-x,
+    so r2->r3 per-query deltas mixed noise with real change).  Returns
+    (min_secs, median_secs, rep_policy); cross-round comparisons should
+    use the medians (delta_vs_prev does)."""
     from newscrawl.queries import QUERIES
 
-    out = {}
+    reps = max(int(os.environ.get("NEWSCRAWL_BENCH_REPS", "2")), 1)
+    best, med = {}, {}
     for name in BENCH_QUERIES:
         fn, _sql = QUERIES[name]
         # time fn() + the noop sink together: several queries do bounded
         # driver work (head/collect of K-cardinality frames) inside fn,
         # and kmeans_train runs its Lloyd iterations there
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        out[name] = round(time.perf_counter() - t0, 3)
-    return out
+        secs = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            secs.append(time.perf_counter() - t0)
+        best[name] = round(min(secs), 3)
+        med[name] = round(sorted(secs)[len(secs) // 2], 3)
+    return best, med, f"min-of-{reps}"
 
 
 def run_once(
@@ -326,7 +349,10 @@ def run_once(
                 "cpus": cpus,
             }
         crawl = bench_crawl(spark, scale)
-        qs = {} if crawl_only else bench_queries(spark, sf_dir)
+        if crawl_only:
+            qs, qs_med, q_policy = {}, {}, "none"
+        else:
+            qs, qs_med, q_policy = bench_queries(spark, sf_dir)
         total = round(crawl["sec"] + sum(qs.values()), 3)
         sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
         res = {
@@ -334,12 +360,14 @@ def run_once(
             "value": total,
             "unit": "sec",
             "queries": qs,
+            "queries_median": qs_med,
+            "query_rep_policy": q_policy,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "crawl": crawl,
             "cpus": cpus,
         }
         if not crawl_only:
-            delta = delta_vs_prev(crawl, qs)
+            delta = delta_vs_prev(crawl, qs, qs_med)
             if delta:
                 res["delta_vs_prev"] = delta
         return res

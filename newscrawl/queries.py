@@ -3002,6 +3002,15 @@ FROM cf LEFT JOIN top ON cf.doc_id = top.doc_id
 
 PAGERANK_ITERS = 3
 PAGERANK_DAMPING = 0.85
+# Max document frequency (distinct sources) a chunk may have and still
+# contribute edges.  Without this cap one boilerplate chunk shared by k
+# hosts emits k^2 pairs in the edge self-join — a quadratic blowup on
+# exactly the most common chunks at 10^8-host scale.  Dropping high-DF
+# chunks is the standard overlap-graph move (they carry no authority
+# signal anyway: boilerplate, chrome, legal footers).  16 is far above
+# the sf0.01 fixture's max DF of 4, so the small-scale oracle output is
+# unchanged while the 100x plan is bounded at 256 pairs/chunk.
+PAGERANK_MAX_CHUNK_DF = 16
 
 
 def q_pagerank_sources(spark, sf_dir):
@@ -3021,9 +3030,29 @@ def q_pagerank_sources(spark, sf_dir):
     cuts lineage; at web scale (10^8 hosts) the same loop runs with the
     broadcast replaced by a shuffle join on node."""
     docs = _spread(_t(spark, sf_dir, "documents"))
-    sc = docs.select(
-        "source", F.explode(_chunk_hashes()).alias("chunk_hash")
-    ).distinct()
+    # Per-chunk DF via a Window over the (source, chunk_hash)-distinct
+    # frame: the Window's Exchange partitions by chunk_hash, exactly the
+    # partitioning the self-join below needs, so the cap costs no extra
+    # shuffle.  Persist: the frame feeds both join sides + the dropped-count
+    # telemetry without re-running the chunk-hash kernel.
+    scd = (
+        docs.select("source", F.explode(_chunk_hashes()).alias("chunk_hash"))
+        .distinct()
+        .withColumn("_df", F.count("*").over(W.partitionBy("chunk_hash")))
+        .persist()
+    )
+    sc = scd.filter(F.col("_df") <= PAGERANK_MAX_CHUNK_DF).drop("_df")
+    n_dropped = (
+        scd.filter(F.col("_df") > PAGERANK_MAX_CHUNK_DF)
+        .select("chunk_hash")
+        .distinct()
+        .count()
+    )
+    if n_dropped:
+        print(
+            f"pagerank_sources: dropped {n_dropped} chunks with "
+            f"DF > {PAGERANK_MAX_CHUNK_DF} before the edge self-join"
+        )
     edges = (
         sc.alias("x")
         .join(sc.alias("y"), "chunk_hash")
@@ -3044,6 +3073,7 @@ def q_pagerank_sources(spark, sf_dir):
         .persist()
     )
     frac.count()
+    scd.unpersist()
     nodes = docs.select(F.col("source").alias("node")).distinct().persist()
     n = nodes.count()
     d = PAGERANK_DAMPING
@@ -3085,8 +3115,12 @@ def _sql_pagerank() -> str:
     # numeric literals are DECIMAL in DuckDB — cast to DOUBLE so the
     # arithmetic matches Spark's float64 exactly
     sql = _SQL_CHUNK_CTES + f""",
-sc AS (
-  SELECT DISTINCT source, chunk_hash FROM chunks
+scd AS (
+  SELECT source, chunk_hash,
+         count(*) OVER (PARTITION BY chunk_hash) AS df
+  FROM (SELECT DISTINCT source, chunk_hash FROM chunks)
+), sc AS (
+  SELECT source, chunk_hash FROM scd WHERE df <= {PAGERANK_MAX_CHUNK_DF}
 ), e AS (
   SELECT x.source AS src, y.source AS dst, count(*) AS w
   FROM sc x JOIN sc y

@@ -60,6 +60,15 @@ from .storage import ManifestParquetCatalog
 FRONTIER_COLS = [f.name for f in FRONTIER.fields]
 
 
+def _target_file_bytes() -> int:
+    """Target parquet file size for wave delta writes (default 128 MiB —
+    the standard HDFS-block-aligned choice).  Env-overridable so tests
+    can exercise the rows->file-count scaling at tiny corpus sizes."""
+    return int(
+        float(os.environ.get("NEWSCRAWL_TARGET_FILE_MB", "128")) * (1 << 20)
+    )
+
+
 def init_crawl(
     spark: SparkSession,
     catalog: ManifestParquetCatalog,
@@ -324,7 +333,7 @@ def run_wave(
 
         # one pass fills the cache (scan -> extract -> join), so the
         # parallel jobs below all read from memory
-        extracted.count()
+        n_extracted = extracted.count()
         tick("extract(materialize)")
 
         # metrics (A1-A3 analogs) in ONE aggregation job over the persisted
@@ -391,10 +400,25 @@ def run_wave(
         # coalesce delta writes: the extract stage runs wide (one partition
         # per scan split), but writing one file per split piles up tiny
         # files wave over wave and every later state read pays for it
-        # (the classic small-files problem). Narrow only the write side;
-        # at 100 TB scale replace the constant with a rows/target-file-size
-        # estimate from the manifest stats.
-        n_out = max(2, spark.sparkContext.defaultParallelism // 4)
+        # (the classic small-files problem). Narrow only the write side.
+        # Width per table = estimated delta bytes / target file size, with
+        # bytes/row taken from the catalog's manifest stats (all waves so
+        # far) — so a 10x-bigger wave writes ~10x the files instead of a
+        # constant count, and file sizes stay near the target at any wave
+        # size. First wave (no stats yet) falls back to cores//4.
+        _cores = spark.sparkContext.defaultParallelism
+        _fallback_w = max(2, _cores // 4)
+
+        def write_width(table: str, n_rows_est: int) -> int:
+            st = catalog.table_stats(table)
+            rows = st.get("rows", 0)
+            nbytes = sum(f.get("bytes", 0) for f in st.get("files", []))
+            if not rows or not nbytes:
+                return _fallback_w
+            est_bytes = n_rows_est * (nbytes / rows)
+            import math
+
+            return min(max(2, math.ceil(est_bytes / _target_file_bytes())), _cores)
 
         def timed_write(table: str, df: DataFrame, mode: str) -> int:
             # NEWSCRAWL_TIMING: per-write wall time + bytes, the evidence
@@ -428,14 +452,33 @@ def run_wave(
             return out
 
         with ThreadPoolExecutor(max_workers=8) as pool:
+            # row estimates: append tables are bounded by this wave's
+            # extract output; overwrite tables by their own previous size
+            # (manifest stats rows). write_width turns each into a file
+            # count via the table's observed bytes/row.
             f_frontier = pool.submit(
-                timed_write, "frontier", new_frontier.coalesce(n_out), "overwrite"
+                timed_write,
+                "frontier",
+                new_frontier.coalesce(
+                    write_width(
+                        "frontier",
+                        catalog.table_stats("frontier").get("rows", 0)
+                        or n_extracted,
+                    )
+                ),
+                "overwrite",
             )
             f_seen = pool.submit(
-                timed_write, "seen", seen_delta.coalesce(n_out), "append"
+                timed_write,
+                "seen",
+                seen_delta.coalesce(write_width("seen", n_extracted)),
+                "append",
             )
             f_articles = pool.submit(
-                timed_write, "articles", articles.coalesce(n_out), "append"
+                timed_write,
+                "articles",
+                articles.coalesce(write_width("articles", n_extracted)),
+                "append",
             )
             f_stats = pool.submit(timed_job, "stats", compute_stats)
             f_dims = pool.submit(timed_job, "dims", compute_dims)
@@ -443,7 +486,9 @@ def run_wave(
                 pool.submit(
                     timed_write,
                     "webhook_payloads",
-                    webhook.signed_payloads(articles, webhook_key).coalesce(n_out),
+                    webhook.signed_payloads(articles, webhook_key).coalesce(
+                        write_width("webhook_payloads", n_extracted)
+                    ),
                     "append",
                 )
                 if webhook_key is not None
@@ -479,7 +524,16 @@ def run_wave(
                     )
                 )
                 f_hosts = pool.submit(
-                    timed_write, "host_state", new_state.coalesce(n_out), "overwrite"
+                    timed_write,
+                    "host_state",
+                    new_state.coalesce(
+                        write_width(
+                            "host_state",
+                            catalog.table_stats("host_state").get("rows", 0)
+                            or n_extracted,
+                        )
+                    ),
+                    "overwrite",
                 )
             else:
                 f_hosts = None
@@ -489,7 +543,7 @@ def run_wave(
                     "media_features",
                     multimodal.page_media_features(fetched, media_max_side)
                     .withColumn("wave_id", F.lit(wid))
-                    .coalesce(n_out),
+                    .coalesce(write_width("media_features", n_extracted)),
                     "append",
                 )
                 if media_sink

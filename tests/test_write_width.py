@@ -1,0 +1,58 @@
+"""Manifest-stats-derived write width (VERDICT round 3, item 4).
+
+The per-wave delta writes must size their file count from estimated bytes
+(rows x observed bytes/row from the catalog manifest) / target file size —
+so a much bigger wave writes more files and file sizes stay near the
+target, instead of a constant cores//4 fan-in at every wave size.
+"""
+
+from __future__ import annotations
+
+from newscrawl import synth, wave
+from newscrawl.storage import ManifestParquetCatalog
+
+
+def test_file_count_tracks_rows_written(spark, tmp_path, monkeypatch):
+    # tiny target (24 KiB) so wave-size differences show up at test scale
+    # without both waves clamping at the cores ceiling
+    monkeypatch.setenv("NEWSCRAWL_TARGET_FILE_MB", "0.024")
+    cfg = synth.SynthConfig(n_seed=2, n_total=40, n_waves=3)
+    cat = ManifestParquetCatalog(str(tmp_path / "w"))
+    wave.run_crawl(spark, cat, cfg, n_waves=3)
+
+    arts = wave.read_articles(spark, cat)
+    rows_by_wave = {
+        r["wave_id"]: r["n"]
+        for r in arts.groupBy("wave_id").count().withColumnRenamed("count", "n").collect()
+    }
+    waves = sorted(rows_by_wave)
+    files_by_wave = {
+        i: len(cat.files_added_by_wave("articles", i)) for i in range(len(waves))
+    }
+    # wave 0 has no stats -> fallback width; waves 1+ derive from stats.
+    # Among the stats-driven waves, a >=2x-bigger wave must write more
+    # files than the smallest one (rows -> bytes estimate -> file count).
+    stats_waves = list(range(1, len(waves)))
+    assert stats_waves, "need >=2 waves"
+    rows_ix = {i: rows_by_wave[waves[i]] for i in stats_waves}
+    big = max(stats_waves, key=rows_ix.get)
+    small = min(stats_waves, key=rows_ix.get)
+    assert rows_ix[big] >= 2 * rows_ix[small], (
+        f"fixture not skewed enough: {rows_ix}"
+    )
+    assert files_by_wave[big] > files_by_wave[small], (rows_ix, files_by_wave)
+
+
+def test_write_width_clamps(spark, tmp_path, monkeypatch):
+    """Width never exceeds parallelism and never drops below 2, and the
+    first wave (no manifest stats) uses the cores//4 fallback."""
+    monkeypatch.setenv("NEWSCRAWL_TARGET_FILE_MB", "1024")  # huge target
+    cfg = synth.SynthConfig(n_seed=2, n_total=16, n_waves=2)
+    cat = ManifestParquetCatalog(str(tmp_path / "c"))
+    wave.run_crawl(spark, cat, cfg, n_waves=2)
+    cores = spark.sparkContext.defaultParallelism
+    for i in (0, 1):
+        n = len(cat.files_added_by_wave("articles", i))
+        assert 1 <= n <= max(2, cores)
+    # with a 1 GiB target every estimate is far below one file -> min width 2
+    assert len(cat.files_added_by_wave("articles", 1)) == 2
