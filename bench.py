@@ -156,6 +156,11 @@ def bench_crawl(spark, scale: int) -> dict:
         # the sandbox disk to 100% (which then failed the scaling legs)
         cat_dir = tempfile.mkdtemp(prefix="newscrawl_bench_")
         catalog = ManifestParquetCatalog(cat_dir)
+        # rep-boundary marker for parse_wave_timing: groups the per-wave
+        # NEWSCRAWL_TIMING blocks by run_crawl invocation, so "best rep"
+        # means a complete crawl, not the fastest single wave, and the
+        # warmup (everything before the first marker) drops structurally
+        print("[bench] rep-begin", flush=True)
         t0 = time.perf_counter()
         metrics = wave.run_crawl(spark, catalog, cfg, pages=pages)
         rep_secs.append(time.perf_counter() - t0)
@@ -377,21 +382,30 @@ def run_once(
 
 def parse_wave_timing(stdout: str) -> dict | None:
     """Aggregate NEWSCRAWL_TIMING lines from a --crawl-only run into the
-    best rep's per-phase decomposition. Blocks are delimited by 'commit:'
-    lines; the warmup block (tiny corpus) is dropped by magnitude; the
-    selected block is the fastest complete rep (consistent with the
-    min-of-reps headline)."""
+    best rep's per-phase decomposition. '[bench] rep-begin' markers
+    (emitted by bench_crawl before each timed run_crawl) group the
+    per-wave 'commit:'-delimited blocks into reps, so with multi-wave
+    benches the selected unit is a COMPLETE crawl rep (waves summed per
+    phase), not the fastest single wave, and the warmup (everything
+    before the first marker) is dropped structurally. Without markers
+    (older captures) falls back to one-block-per-rep with the first
+    completed block dropped as warmup."""
     import re
 
-    blocks: list[dict] = [{}]
+    reps: list[list[dict]] = [[{}]]
+    has_marker = False
     for line in stdout.splitlines():
+        if line.startswith("[bench] rep-begin"):
+            has_marker = True
+            reps.append([{}])
+            continue
         m = re.match(
             r"\[w\d+\] ([\w +:()-]+): ([\d.]+)s(?: rows=(\d+) bytes=(\d+))?", line
         )
         if not m:
             continue
         label, sec = m.group(1), float(m.group(2))
-        blk = blocks[-1]
+        blk = reps[-1][-1]
         if label.startswith("write:"):
             blk.setdefault("writes", {})[label[6:]] = {
                 "sec": sec,
@@ -403,15 +417,43 @@ def parse_wave_timing(stdout: str) -> dict | None:
         else:
             blk[label] = sec
         if label == "commit":
-            blocks.append({})
-    done = [b for b in blocks if "commit" in b]
+            reps[-1].append({})
+
+    def merge_rep(blocks: list[dict]) -> dict:
+        """Sum a rep's per-wave blocks phase-by-phase."""
+        out: dict = {}
+        for b in blocks:
+            for k, v in b.items():
+                if k == "writes":
+                    w = out.setdefault("writes", {})
+                    for t, d in v.items():
+                        e = w.setdefault(t, {"sec": 0.0, "rows": 0, "bytes": 0})
+                        e["sec"] = round(e["sec"] + d["sec"], 2)
+                        e["rows"] += d["rows"]
+                        e["bytes"] += d["bytes"]
+                elif k == "jobs":
+                    j = out.setdefault("jobs", {})
+                    for t, s in v.items():
+                        j[t] = round(j.get(t, 0.0) + s, 2)
+                else:
+                    out[k] = round(out.get(k, 0.0) + v, 2)
+        return out
+
+    if has_marker:
+        # reps[0] = everything before the first marker = the warmup crawl
+        done = [
+            merge_rep([b for b in r if "commit" in b])
+            for r in reps[1:]
+            if any("commit" in b for b in r)
+        ]
+    else:
+        blocks = [b for r in reps for b in r if "commit" in b]
+        # the first completed block is ALWAYS the warmup crawl (bench_crawl
+        # runs it once before the timed reps) — drop it positionally; a
+        # magnitude heuristic misfires when the warmup hits disk interference
+        done = blocks[1:] if len(blocks) > 1 else blocks
     if not done:
         return None
-    # the first completed block is ALWAYS the warmup crawl (bench_crawl
-    # runs it once before the timed reps) — drop it positionally; a
-    # magnitude heuristic misfires when the warmup hits disk interference
-    if len(done) > 1:
-        done = done[1:]
 
     def phase_total(b: dict) -> float:
         return sum(v for k, v in b.items() if isinstance(v, (int, float)))

@@ -96,7 +96,9 @@ def robots_decision(path: str, disallow: list[str], allow: list[str]) -> bool:
     """Pure-Python spec of the per-URL RFC 9309 decision (the Spark
     filter in robots_filter mirrors this exactly; tests diff the two):
     among all matching prefixes, the LONGEST wins; an Allow rule wins a
-    length tie; no matching rule -> allowed."""
+    length tie; no matching rule -> allowed. An empty path (bare-host
+    url) is '/' per RFC 9309."""
+    path = path or "/"
     d = max((len(r) for r in disallow if path.startswith(r)), default=-1)
     a = max((len(r) for r in allow if path.startswith(r)), default=-1)
     return d == -1 or a >= d
@@ -215,7 +217,14 @@ def robots_filter(candidates: DataFrame, robots: DataFrame | None) -> DataFrame:
     if "allow" not in robots.columns:
         robots = robots.withColumn("allow", F.lit(None).cast("array<string>"))
     df = candidates if "host" in candidates.columns else with_host(candidates)
-    df = df.withColumn("_path", F.regexp_replace("url", HOST_RE, ""))
+    # RFC 9309: an absent path means '/' — a bare-host url
+    # ('https://h') must match 'Disallow: /' like 'https://h/' does
+    df = df.withColumn(
+        "_path",
+        F.when(
+            F.regexp_replace("url", HOST_RE, "") == "", F.lit("/")
+        ).otherwise(F.regexp_replace("url", HOST_RE, "")),
+    )
     joined = df.join(F.broadcast(robots), "host", "left")
 
     def longest_match(col: str):

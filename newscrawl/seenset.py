@@ -75,8 +75,20 @@ def _bit_positions(hashes: np.ndarray, k: int, m_bits: int) -> np.ndarray:
         return ((h1[:, None] + i * h2[:, None]) % np.uint64(m_bits)).astype(np.int64)
 
 
+def _shard_of(hashes: np.ndarray, n_shards: int) -> np.ndarray:
+    """Shard id per hash with the SAME semantics as Spark's
+    ``pmod(url_hash, n_shards)`` (floor mod of the signed int64, always
+    non-negative).  The distributed accel build groups by that
+    expression (build_accel_rows), so every local sharding decision must
+    match it exactly — the previous ``uint64 % n`` agreed only for
+    power-of-two n_shards; for any other n a hash could be built into
+    one shard and queried in another, a silent false-negative (re-crawl)
+    hazard."""
+    return np.mod(np.asarray(hashes, dtype=np.int64), n_shards)
+
+
 class BloomShardSet:
-    """n_shards independent blooms keyed by url_hash % n_shards."""
+    """n_shards independent blooms keyed by pmod(url_hash, n_shards)."""
 
     def __init__(self, n_shards: int = DEFAULT_SHARDS, m_bits: int = DEFAULT_BITS_PER_SHARD, k: int = DEFAULT_K):
         self.n_shards = n_shards
@@ -88,7 +100,7 @@ class BloomShardSet:
     # -- construction -------------------------------------------------
     def add_hashes(self, hashes: np.ndarray) -> None:
         hashes = np.asarray(hashes, dtype=np.int64)
-        shards = (hashes.astype(np.uint64) % np.uint64(self.n_shards)).astype(np.int64)
+        shards = _shard_of(hashes, self.n_shards)
         for s in np.unique(shards):
             hs = hashes[shards == s]
             bm = self.bitmaps.get(int(s))
@@ -116,7 +128,7 @@ class BloomShardSet:
         out = np.zeros(len(hashes), dtype=bool)
         if not self.bitmaps:
             return out
-        shards = (hashes.astype(np.uint64) % np.uint64(self.n_shards)).astype(np.int64)
+        shards = _shard_of(hashes, self.n_shards)
         for s in np.unique(shards):
             bm = self.bitmaps.get(int(s))
             if bm is None:
@@ -478,9 +490,7 @@ class CuckooShardSet:
         out = np.zeros(len(hashes), dtype=bool)
         if not self.filters or not len(hashes):
             return out
-        shards = (hashes.astype(np.uint64) % np.uint64(self.n_shards)).astype(
-            np.int64
-        )
+        shards = _shard_of(hashes, self.n_shards)
         for (wi, s), cf in self.filters.items():
             mask = shards == s
             if mask.any():

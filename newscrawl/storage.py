@@ -216,10 +216,16 @@ class ManifestParquetCatalog:
         spill-tier fold read exactly one wave's delta instead of
         rescanning the table. Walks the CURRENT snapshot's ancestry — a
         rolled-back-and-recrawled wave index resolves to the live lineage
-        branch, never the orphaned one."""
+        branch, never the orphaned one. Maintenance snapshots (compact)
+        reuse the wave index of the wave they ran after, so they are
+        skipped: matching one would return the compaction's rewritten
+        multi-wave file set instead of the wave's own delta."""
         snap = self.current_snapshot()
         while snap is not None:
-            if snap.get("wave_index") == wave_index:
+            is_maintenance = bool(
+                (snap.get("metrics") or {}).get("maintenance")
+            )
+            if not is_maintenance and snap.get("wave_index") == wave_index:
                 mine = {
                     f["path"] for f in snap["tables"].get(table, {}).get("files", [])
                 }

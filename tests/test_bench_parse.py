@@ -43,3 +43,40 @@ def test_single_block_kept():
 
 def test_no_blocks():
     assert parse_wave_timing("noise\n") is None
+
+
+MARK = "[bench] rep-begin\n"
+WAVE_A = """[w0000] dedup+count: 1.00s
+[w0000] extract(materialize): 10.00s
+[w0000] write:articles: 2.00s rows=100 bytes=1000
+[w0000] commit: 0.00s
+"""
+WAVE_B = """[w0001] dedup+count: 0.50s
+[w0001] extract(materialize): 5.00s
+[w0001] write:articles: 1.00s rows=50 bytes=500
+[w0001] commit: 0.00s
+"""
+
+
+def test_marker_groups_multiwave_reps():
+    """ADVICE r3: with rep-begin markers, a multi-wave rep is ONE unit —
+    phases sum across its waves, and 'best rep' compares complete crawls
+    (the old parser would have picked the fastest single wave)."""
+    slow_rep = (WAVE_A + WAVE_B).replace("10.00", "40.00")
+    out = parse_wave_timing(WARMUP + MARK + WAVE_A + WAVE_B + MARK + slow_rep)
+    # the fast rep, waves summed: 10 + 5
+    assert out["extract(materialize)"] == 15.00
+    assert out["dedup+count"] == 1.50
+    assert out["writes"]["articles"] == {"sec": 3.00, "rows": 150, "bytes": 1500}
+    assert out["data_plane_sec"] == 15.00
+
+
+def test_marker_drops_warmup_structurally():
+    """Everything before the first marker is warmup, regardless of how
+    many waves the warmup config ran."""
+    out = parse_wave_timing(WARMUP + WARMUP + MARK + WAVE_A)
+    assert out["extract(materialize)"] == 10.00
+
+
+def test_no_marker_falls_back_to_positional():
+    assert parse_wave_timing(WARMUP + REP)["extract(materialize)"] == 124.13

@@ -386,3 +386,30 @@ def test_robots_filter_backcompat_disallow_only_table(spark):
     assert {r.url for r in robots_filter(cands, robots).collect()} == {
         "https://h.example.com/ok"
     }
+
+
+def test_robots_bare_host_url_treated_as_root_path(spark):
+    """ADVICE r3: 'https://h' has an empty derived path; RFC 9309 treats
+    it as '/', so 'Disallow: /' (the most common rule) must block it —
+    in both the Spark filter and the pure-Python spec twin."""
+    from pyspark.sql import functions as F
+
+    from newscrawl import politeness
+
+    cands = spark.createDataFrame(
+        [("https://blocked.example.com",), ("https://open.example.com",)],
+        "url string",
+    )
+    robots = spark.createDataFrame(
+        [("blocked.example.com", ["/"], [])],
+        "host string, disallow array<string>, allow array<string>",
+    )
+    got = {
+        r.url
+        for r in politeness.robots_filter(
+            politeness.with_host(cands), robots
+        ).collect()
+    }
+    assert got == {"https://open.example.com"}
+    assert not politeness.robots_decision("", ["/"], [])
+    assert politeness.robots_decision("", [], [])

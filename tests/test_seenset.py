@@ -206,3 +206,32 @@ def test_rollback_removes_rolled_back_waves_from_accelerator(spark, tmp_path):
     # tiny residual collision rate is allowed, zero would overfit
     frac = spill.maybe_contains(late_hs).mean()
     assert frac < 0.2, f"rolled-back urls still flagged: {frac}"
+
+
+@pytest.mark.parametrize("n_shards", [12, 7])  # deliberately NOT powers of two
+def test_accel_rows_no_false_negatives_non_pow2_shards(spark, n_shards):
+    """ADVICE r3: Spark groups build_accel_rows by pmod(url_hash, n) but
+    the local shard derivation used uint64 mod — they disagree for
+    negative hashes whenever n isn't a power of two, silently dropping
+    every bitmap but the group's first internal shard.  With _shard_of
+    matching pmod semantics, a non-power-of-two shard count must still
+    yield zero false negatives on both accelerator tiers."""
+    urls = [f"https://h{i % 5}.example.com/a/{i}" for i in range(400)]
+    delta = spark.createDataFrame([(u,) for u in urls], "url string").withColumn(
+        "url_hash", F.xxhash64("url")
+    )
+    hashes = np.array(
+        [r.url_hash for r in delta.select("url_hash").collect()], dtype=np.int64
+    )
+    assert (hashes < 0).any(), "fixture must include negative hashes"
+    rows = seenset.build_accel_rows(
+        delta, n_shards=n_shards, m_bits=1 << 12
+    ).collect()
+    bloom = seenset.BloomShardSet.from_rows(
+        [(r.shard, r.bloom, r.n_items) for r in rows], n_shards, 1 << 12
+    )
+    assert bloom.maybe_contains(hashes).all()
+    cs = seenset.CuckooShardSet.from_rows(
+        [(0, r.shard, r.cuckoo, r.n_items) for r in rows], n_shards
+    )
+    assert cs.maybe_contains(hashes).all()

@@ -228,9 +228,17 @@ def test_compact_rewrites_small_files(spark, tmp_path):
     pre_ids = cat.snapshot_ids()
     pre_files = cat.table_files("articles")
     assert len(pre_files) > 1  # append-per-wave accreted several files
+    # lineage BEFORE compaction: each wave's own delta
+    pre_lineage = {i: cat.files_added_by_wave("articles", i) for i in range(3)}
     res = cat.compact(spark, "articles", wave.ARTICLES)
     assert res["files_rewritten"] == len(pre_files)
     assert res["files_written"] < len(pre_files)
+    # ADVICE r3: the maintenance snapshot reuses wave_index=2, but the
+    # lineage query must skip it and still resolve wave 2 to its own
+    # delta, not the compaction's rewritten multi-wave file set
+    assert cat.files_added_by_wave("articles", 2) == pre_lineage[2]
+    for i in range(3):
+        assert cat.files_added_by_wave("articles", i) == pre_lineage[i]
     # live rows identical, layout collapsed
     got = sorted(
         (r.url, r.wave_id, r.fingerprint)
