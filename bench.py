@@ -84,6 +84,12 @@ BENCH_QUERIES = [
     "embedding_quantize",
     "knn_quantized",
     "knn_ivf_multiprobe",
+    "doc_fingerprint",
+    "minhash_dedup_keep",
+    "quality_prune_pipeline",
+    "domain_diversity",
+    "ccnet_perplexity_buckets",
+    "exact_subseq_dedup",
 ]
 
 

@@ -3322,6 +3322,384 @@ SQL_PAGERANK_SOURCES = _sql_pagerank()
 
 
 # ---------------------------------------------------------------------------
+# Round-4 training-data-pipeline operators
+# ---------------------------------------------------------------------------
+
+WINNOW_KGRAM = 5  # tokens per k-gram
+WINNOW_WINDOW = 4  # consecutive k-gram hashes per winnowing window
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting by winnowing (Schleimer/Wilkerson/Aiken):
+    per-token 60-bit hashes (first 15 hex digits of md5 — md5 keeps the
+    spec cross-engine), k-gram hashes as an overflow-free xor-shift
+    combine of 5 consecutive token hashes, then the minimum of each
+    window of 4 consecutive k-gram hashes — every shared substring of
+    >= w+k-1 tokens yields at least one shared fingerprint, at ~2/(w+1)
+    the density of full shingling.
+
+    Computed in ONE Arrow kernel riding the scan (zero shuffle): the
+    per-kgram string building that a pure JVM expression tree needs
+    (concat_ws + md5 per overlapping window) measured 10.6 s at sf0.1;
+    hashing each token once and combining numerically in numpy runs the
+    same spec in ~1 s.  The DuckDB oracle evaluates the identical
+    integer arithmetic from the SQL side."""
+    import hashlib
+
+    import pandas as pd
+
+    k, w = WINNOW_KGRAM, WINNOW_WINDOW
+
+    def kernel(batches):
+        import numpy as np  # resolved on the worker
+
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = [t for t in text.strip().lower().split() if t]
+                th = np.array(
+                    [
+                        int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+                        for t in toks
+                    ],
+                    dtype=np.int64,
+                )
+                nk = max(len(th) - (k - 1), 0)
+                if nk == 0:
+                    out.append((doc_id, 0, 0, hashlib.md5(b"").hexdigest()))
+                    continue
+                kh = th[0:nk] >> 0
+                for j in range(1, k):
+                    kh = kh ^ (th[j : j + nk] >> (4 * j))
+                if nk >= w:
+                    sw = np.lib.stride_tricks.sliding_window_view(kh, w)
+                    wins = sw.min(axis=1)
+                    fps = np.unique(wins)
+                else:
+                    fps = np.array([], dtype=np.int64)
+                payload = ",".join(str(int(x)) for x in fps)
+                out.append(
+                    (
+                        doc_id,
+                        nk,
+                        len(fps),
+                        hashlib.md5(payload.encode()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_kgrams", "n_fingerprints", "fp_checksum"]
+            )
+
+    docs = _spread(_t(spark, sf_dir, "documents")).select("doc_id", "text")
+    return docs.mapInPandas(
+        kernel,
+        schema="doc_id bigint, n_kgrams bigint, n_fingerprints bigint, "
+        "fp_checksum string",
+    )
+
+
+def _sql_doc_fingerprint() -> str:
+    k, w = WINNOW_KGRAM, WINNOW_WINDOW
+    xor = "th[i + 1]"
+    for j in range(1, k):
+        xor = f"xor({xor}, th[i + {j + 1}] >> {4 * j})"
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+), th AS (
+  SELECT doc_id,
+         list_transform(
+           toks, t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)
+         ) AS th
+  FROM d
+), kg AS (
+  SELECT doc_id, greatest(len(th) - {k - 1}, 0) AS nk,
+         CASE WHEN len(th) >= {k} THEN
+           list_transform(range(0, greatest(len(th) - {k - 1}, 0)),
+                          i -> {xor})
+         ELSE [] END AS kh
+  FROM th
+), wn AS (
+  SELECT doc_id, nk,
+         CASE WHEN nk >= {w} THEN
+           list_transform(
+             range(0, nk - {w} + 1),
+             j -> list_aggregate(kh[(j + 1):(j + {w})], 'min')
+           )
+         ELSE [] END AS wins
+  FROM kg
+)
+SELECT doc_id,
+       CAST(nk AS BIGINT) AS n_kgrams,
+       CAST(len(list_distinct(wins)) AS BIGINT) AS n_fingerprints,
+       md5(array_to_string(coalesce(list_sort(list_distinct(wins)), []), ','))
+         AS fp_checksum
+FROM wn
+"""
+
+
+SQL_DOC_FINGERPRINT = _sql_doc_fingerprint()
+
+
+def q_minhash_dedup_keep(spark, sf_dir):
+    """The dedup pipeline's END PRODUCT: the per-document keep decision.
+    MinHash-LSH candidates -> connected components -> keep the smallest
+    doc_id per cluster; documents in no cluster are kept.  Composes
+    q_near_dup_clusters (bounded label propagation) with one left join
+    against the corpus — the join is on doc_id, and the cluster side is
+    only the clustered documents (tiny relative to the corpus), so at
+    100 TB this broadcasts."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    clusters = q_near_dup_clusters(spark, sf_dir)
+    return docs.join(F.broadcast(clusters), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster", F.col("doc_id")).alias("cluster"),
+        (
+            F.col("is_canonical").isNull() | F.col("is_canonical")
+        ).cast("int").alias("kept"),
+    )
+
+
+SQL_MINHASH_DEDUP_KEEP = f"""
+SELECT d.doc_id,
+       coalesce(c.cluster, d.doc_id) AS cluster,
+       CAST(c.is_canonical IS NULL OR c.is_canonical AS INT) AS kept
+FROM documents d
+LEFT JOIN ({SQL_NEAR_DUP_CLUSTERS}) c ON d.doc_id = c.doc_id
+"""
+
+
+# quality-prune gate thresholds (C4/Gopher-flavored, tuned so EVERY gate
+# fires on part of the synthetic corpus — degenerate all-pass/all-fail
+# outputs verify nothing; fixture token quantiles p10=21 p50=56 p90=88)
+PRUNE_MIN_TOKENS = 30
+PRUNE_MAX_TOKENS = 85
+PRUNE_MIN_STOP_RATIO = 0.03
+PRUNE_MIN_QUALITY = 0.35
+
+
+def q_quality_prune_pipeline(spark, sf_dir):
+    """The assembled quality-prune pipeline a pretraining corpus runs in
+    one scan: min/max length gates, stopword-density (language) gate,
+    composite quality gate — with the FIRST failing gate named per
+    document (the audit trail production filters keep).  All gates are
+    JVM expressions over one pass; at 100 TB this is scan-speed."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_tokens = F.size(toks)
+    n_chars = F.length("text")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    stop_ratio = F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 4)
+    n_punct = n_chars - F.length(
+        F.regexp_replace(F.col("text"), "[.!?,;:]", "")
+    )
+    quality = F.round(
+        (F.least(n_tokens, F.lit(200)) / 200.0)
+        * (F.lit(1.0) - n_punct / F.greatest(n_chars, F.lit(1))),
+        4,
+    )
+    reason = (
+        F.when(n_tokens < PRUNE_MIN_TOKENS, F.lit("too_short"))
+        .when(n_tokens > PRUNE_MAX_TOKENS, F.lit("too_long"))
+        .when(stop_ratio < PRUNE_MIN_STOP_RATIO, F.lit("low_stopword"))
+        .when(quality < PRUNE_MIN_QUALITY, F.lit("low_quality"))
+        .otherwise(F.lit("kept"))
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        quality.alias("quality"),
+        reason.alias("reason"),
+        (reason == "kept").cast("int").alias("keep"),
+    )
+
+
+SQL_QUALITY_PRUNE_PIPELINE = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g'))
+           AS n_punct
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         round(len(list_filter(toks, x -> x IN ({_STOP_SQL})))
+               / greatest(len(toks), 1), 4) AS stop_ratio,
+         round((least(len(toks), 200) / 200.0)
+               * (1.0 - n_punct / greatest(n_chars, 1)), 4) AS quality
+  FROM t
+), r AS (
+  SELECT doc_id, n_tokens, stop_ratio, quality,
+         CASE WHEN n_tokens < {PRUNE_MIN_TOKENS} THEN 'too_short'
+              WHEN n_tokens > {PRUNE_MAX_TOKENS} THEN 'too_long'
+              WHEN stop_ratio < {PRUNE_MIN_STOP_RATIO} THEN 'low_stopword'
+              WHEN quality < {PRUNE_MIN_QUALITY} THEN 'low_quality'
+              ELSE 'kept' END AS reason
+  FROM g
+)
+SELECT doc_id, n_tokens, stop_ratio, quality, reason,
+       CAST(reason = 'kept' AS INT) AS keep
+FROM r
+"""
+
+
+MIX_TEMPERATURE_ALPHA = 0.5
+
+
+def q_domain_diversity(spark, sf_dir):
+    """Corpus-composition audit + data-mixing weights per domain slice
+    (source x lang — the unit a multilingual mix is balanced over; the
+    synth corpus is uniform by source alone): doc share, cumulative
+    share (count-desc, key tie-break), per-slice entropy contribution,
+    and the temperature-resampled sampling weight w ~ share^alpha / Z
+    (alpha=0.5 — the standard flattening used when drawing a training
+    mix from skewed web domains).  One groupBy at slice cardinality; the
+    windows run over the post-agg rows only."""
+    docs = _t(spark, sf_dir, "documents")
+    agg = docs.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    total = W.partitionBy()
+    share = F.col("n") / F.sum("n").over(total)
+    flat = F.pow(share, F.lit(MIX_TEMPERATURE_ALPHA))
+    return agg.select(
+        "source",
+        "lang",
+        "n",
+        F.round(share, 6).alias("share"),
+        F.round(
+            F.sum(share).over(
+                W.partitionBy().orderBy(F.col("n").desc(), "source", "lang")
+            ),
+            6,
+        ).alias("cum_share"),
+        F.round(-share * F.log2(share), 6).alias("entropy_bits"),
+        F.round(flat / F.sum(flat).over(total), 6).alias("mix_weight"),
+    )
+
+
+SQL_DOMAIN_DIVERSITY = f"""
+WITH a AS (
+  SELECT source, lang, count(*) AS n FROM documents GROUP BY source, lang
+), s AS (
+  SELECT source, lang, n,
+         n * 1.0 / sum(n) OVER () AS share,
+         pow(n * 1.0 / sum(n) OVER (), {MIX_TEMPERATURE_ALPHA}) AS flat
+  FROM a
+)
+SELECT source, lang, n,
+       round(share, 6) AS share,
+       round(sum(share) OVER (ORDER BY n DESC, source, lang
+                              ROWS UNBOUNDED PRECEDING), 6) AS cum_share,
+       round(-share * log2(share), 6) AS entropy_bits,
+       round(flat / sum(flat) OVER (), 6) AS mix_weight
+FROM s
+"""
+
+
+def q_ccnet_perplexity_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing: score every document with the
+    corpus unigram LM (mean surprisal — the deterministic stand-in for a
+    KenLM perplexity), then split the corpus into head/middle/tail
+    terciles by ntile(3) ordered by (surprisal, doc_id).  The LM is one
+    vocabulary aggregation; the bucketing is one window over per-doc
+    rows.  Production keeps 'head' (lowest perplexity) for pretraining
+    and samples the rest."""
+    scored = q_unigram_surprisal(spark, sf_dir)
+    bucket = F.ntile(3).over(
+        W.partitionBy().orderBy("mean_surprisal", "doc_id")
+    )
+    return scored.select(
+        "doc_id",
+        "mean_surprisal",
+        bucket.alias("bucket"),
+        F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), bucket
+        ).alias("label"),
+    )
+
+
+SQL_CCNET_PERPLEXITY_BUCKETS = f"""
+WITH scored AS ({SQL_UNIGRAM_SURPRISAL}),
+b AS (
+  SELECT doc_id, mean_surprisal,
+         ntile(3) OVER (ORDER BY mean_surprisal, doc_id) AS bucket
+  FROM scored
+)
+SELECT doc_id, mean_surprisal, bucket,
+       CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS label
+FROM b
+"""
+
+
+def q_exact_subseq_dedup(spark, sf_dir):
+    """Exact duplicated SPAN detector: hash every pair of consecutive
+    32-token chunks (md5(chunk_i || chunk_{i+1}) = a 64-token exact
+    span) and report spans appearing in more than one document — the
+    longer-span sibling of chunk_dedup that catches copied passages
+    whole-document and single-chunk dedup both miss.  Span construction
+    is a per-document array zip riding the scan; the only shuffle is the
+    final hash agg, which partitions perfectly on the span hash."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    ch = _chunk_hashes()
+    spans = F.when(
+        F.size(ch) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ch) - 2),
+            lambda i: F.md5(
+                F.concat(F.element_at(ch, i + 1), F.element_at(ch, i + 2))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select("doc_id", F.explode(spans).alias("span_hash"))
+        .groupBy("span_hash")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_set("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+SQL_EXACT_SUBSEQ_DEDUP = (
+    _SQL_CHUNK_CTES
+    + f""",
+ch AS (
+  SELECT doc_id,
+         list_transform(
+           range(0, CAST(ceil(len(toks) / {CHUNK_DEDUP_TOKENS}.0) AS BIGINT)),
+           i -> md5(array_to_string(
+                  toks[(i * {CHUNK_DEDUP_TOKENS} + 1):(i * {CHUNK_DEDUP_TOKENS} + {CHUNK_DEDUP_TOKENS})],
+                  ' '))
+         ) AS hs
+  FROM d
+), spans AS (
+  SELECT doc_id, md5(hs[i + 1] || hs[i + 2]) AS span_hash
+  FROM ch, unnest(range(greatest(len(hs) - 1, 0))) AS t(i)
+)
+SELECT span_hash,
+       count(DISTINCT doc_id) AS n_docs,
+       array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS doc_ids
+FROM spans
+GROUP BY span_hash
+HAVING count(DISTINCT doc_id) > 1
+"""
+)
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -3353,13 +3731,22 @@ QUERIES = {
     "knn_quantized": (q_knn_quantized, SQL_KNN_QUANTIZED),
     "knn_ivf_multiprobe": (q_knn_ivf_multiprobe, SQL_KNN_IVF_MULTIPROBE),
     "knn_recall_multiprobe": (q_knn_recall_multiprobe, SQL_KNN_RECALL_MULTIPROBE),
+    # --- Tier A (round 4): new operators, unverified until r04 runs ---
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "minhash_dedup_keep": (q_minhash_dedup_keep, SQL_MINHASH_DEDUP_KEEP),
+    "quality_prune_pipeline": (
+        q_quality_prune_pipeline,
+        SQL_QUALITY_PRUNE_PIPELINE,
+    ),
+    "domain_diversity": (q_domain_diversity, SQL_DOMAIN_DIVERSITY),
+    "ccnet_perplexity_buckets": (
+        q_ccnet_perplexity_buckets,
+        SQL_CCNET_PERPLEXITY_BUCKETS,
+    ),
+    "exact_subseq_dedup": (q_exact_subseq_dedup, SQL_EXACT_SUBSEQ_DEDUP),
     # --- Tier B: stable driver-green rows kept inside the window ---
     "seen_antijoin": (q_seen_antijoin, SQL_SEEN_ANTIJOIN),
     "first_wins_dedup": (q_first_wins_dedup, SQL_FIRST_WINS_DEDUP),
-    "source_distribution": (q_source_distribution, SQL_SOURCE_DISTRIBUTION),
-    "success_failure_counts": (q_success_failure_counts, SQL_SUCCESS_FAILURE_COUNTS),
-    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
-    "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
     "host_budget_gate": (q_host_budget_gate, SQL_HOST_BUDGET_GATE),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
@@ -3370,8 +3757,6 @@ QUERIES = {
     "entity_bucket": (q_entity_bucket, SQL_ENTITY_BUCKET),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "simhash_near_dup": (q_simhash_near_dup, SQL_SIMHASH_NEAR_DUP),
-    "sessionization": (q_sessionization, SQL_SESSIONIZATION),
-    "url_canonicalize": (q_url_canonicalize, SQL_URL_CANONICALIZE),
     "lang_id_stopword": (q_lang_id_stopword, SQL_LANG_ID_STOPWORD),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "topic_classify": (q_topic_classify, SQL_TOPIC_CLASSIFY),
@@ -3393,6 +3778,12 @@ QUERIES = {
     # --- Tier C: long-stable rows rotated past the 50-entry driver window
     #     (green in CORRECTNESS_r01-r03; still run in test_queries_oracle.py) ---
     "skip_boilerplate_filter": (q_skip_boilerplate_filter, SQL_SKIP_BOILERPLATE_FILTER),
+    "source_distribution": (q_source_distribution, SQL_SOURCE_DISTRIBUTION),
+    "success_failure_counts": (q_success_failure_counts, SQL_SUCCESS_FAILURE_COUNTS),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
+    "sessionization": (q_sessionization, SQL_SESSIONIZATION),
+    "url_canonicalize": (q_url_canonicalize, SQL_URL_CANONICALIZE),
     "min_content_filter": (q_min_content_filter, SQL_MIN_CONTENT_FILTER),
     "regex_source_filter": (q_regex_source_filter, SQL_REGEX_SOURCE_FILTER),
     "date_filter": (q_date_filter, SQL_DATE_FILTER),
