@@ -90,6 +90,9 @@ BENCH_QUERIES = [
     "domain_diversity",
     "ccnet_perplexity_buckets",
     "exact_subseq_dedup",
+    "semantic_dedup",
+    "dsir_importance",
+    "zipf_fit",
 ]
 
 

@@ -3699,6 +3699,247 @@ HAVING count(DISTINCT doc_id) > 1
 )
 
 
+SEMANTIC_DEDUP_COS = 0.40
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic deduplication: cluster the embedding
+    space with the TRAINED k-means centroids (shared, cached training
+    pass), then prune within each cluster any vector whose cosine to a
+    LOWER-id cluster member is >= 0.40 (greedy keep-first — the
+    deterministic spec; SemDeDup keeps one representative per semantic
+    duplicate group).  Cross-cluster pairs are never compared: the
+    pairwise cost drops from O(n^2) to O(sum_k n_k^2), and each cluster's
+    pairs are one co-partitioned self-join — the clustering IS the
+    blocking structure, so at 100 TB no task sees more than a cluster."""
+    cents = _kmeans_train_centroids(spark, sf_dir)
+    cents_df = spark.createDataFrame(
+        [(cid, vals) for cid, vals in sorted(cents.items())],
+        "cent_id long, cvec array<double>",
+    )
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned = _assign_to_centroids(emb, cents_df).persist()
+    a = assigned.select(
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea"), "bucket"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"), "bucket"
+    )
+    cos = _vec_dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(_vec_dot(F.col("ea"), F.col("ea")))
+        * F.sqrt(_vec_dot(F.col("eb"), F.col("eb")))
+    )
+    dups = (
+        a.join(b, "bucket")
+        .filter(F.col("va") < F.col("vb"))
+        .filter(F.round(cos, 6) >= SEMANTIC_DEDUP_COS)
+        .select(F.col("vb").alias("vec_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return assigned.join(dups, "vec_id", "left").select(
+        "vec_id",
+        F.col("bucket").alias("cluster"),
+        F.col("_dup").isNull().cast("int").alias("kept"),
+    )
+
+
+def _sql_semantic_dedup() -> str:
+    train = _sql_kmeans_train().strip()
+    body = train[len("WITH ") :].rsplit("\nSELECT", 1)[0]
+    return f"""
+WITH {body}, cents AS (
+  SELECT cent_id, list(val ORDER BY dim) AS cvec
+  FROM c{N_KMEANS_ITERS} GROUP BY cent_id
+), assigned AS (
+  SELECT e.vec_id, e.v, c.cent_id AS bucket
+  FROM e CROSS JOIN cents c
+  QUALIFY row_number() OVER (
+    PARTITION BY e.vec_id
+    ORDER BY round(list_dot_product(e.v, c.cvec)
+                   / (sqrt(list_dot_product(e.v, e.v))
+                      * sqrt(list_dot_product(c.cvec, c.cvec))), 6) DESC,
+             c.cent_id
+  ) = 1
+), dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))), 6)
+        >= {SEMANTIC_DEDUP_COS}
+)
+SELECT s.vec_id, s.bucket AS cluster,
+       CAST(d.vec_id IS NULL AS INT) AS kept
+FROM assigned s LEFT JOIN dups d ON s.vec_id = d.vec_id
+"""
+
+
+SQL_SEMANTIC_DEDUP = _sql_semantic_dedup()
+
+
+def q_dsir_importance(spark, sf_dir):
+    """DSIR-flavored importance weighting: score every corpus document
+    by how target-like its unigram distribution is — weight = mean over
+    tokens of ln(p_target / p_raw), with add-one smoothing over the
+    union vocabulary.  Target = the held-out doc_id % 29 slice (the same
+    seeded eval convention as decontaminate); raw = the rest.  Data
+    selection pipelines sample training docs proportional to this score.
+    Shapes: two conditional-sum aggregations over one token explode
+    build the log-ratio table (vocabulary cardinality); scoring is one
+    join on term + one per-doc mean."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 29 == 0).alias("is_target"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("term"),
+    )
+    counts = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(~F.col("is_target"), 1).otherwise(0)).alias("cr"),
+    )
+    totals = counts.agg(
+        F.sum("ct").alias("nt"), F.sum("cr").alias("nr"), F.count("*").alias("v")
+    )
+    ratio = counts.crossJoin(F.broadcast(totals)).select(
+        "term",
+        (
+            F.log((F.col("ct") + 1) / (F.col("nt") + F.col("v")))
+            - F.log((F.col("cr") + 1) / (F.col("nr") + F.col("v")))
+        ).alias("lr"),
+    )
+    return (
+        toks.filter(~F.col("is_target"))
+        .join(ratio, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("lr"), 4).alias("dsir_weight"),
+        )
+    )
+
+
+SQL_DSIR_IMPORTANCE = """
+WITH tk AS (
+  SELECT doc_id, doc_id % 29 = 0 AS is_target, t.term
+  FROM documents,
+       unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                          x -> x <> '')) AS t(term)
+), counts AS (
+  SELECT term,
+         sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct,
+         sum(CASE WHEN NOT is_target THEN 1 ELSE 0 END) AS cr
+  FROM tk GROUP BY term
+), totals AS (
+  SELECT sum(ct) AS nt, sum(cr) AS nr, count(*) AS v FROM counts
+), ratio AS (
+  SELECT term,
+         ln((ct + 1) * 1.0 / (nt + v)) - ln((cr + 1) * 1.0 / (nr + v)) AS lr
+  FROM counts, totals
+)
+SELECT tk.doc_id,
+       count(*) AS n_tokens,
+       round(avg(lr), 4) AS dsir_weight
+FROM tk JOIN ratio USING (term)
+WHERE NOT tk.is_target
+GROUP BY tk.doc_id
+"""
+
+
+ZIPF_TOP_TERMS = 100
+
+
+def q_zipf_fit(spark, sf_dir):
+    """Zipf's-law audit of the corpus vocabulary: OLS fit of
+    ln(frequency) against ln(rank) over the top-100 terms (rank by
+    count desc, term tie-break).  A natural-language corpus fits slope
+    ~ -1; generated/template text bends the curve — this single row is
+    the cheapest corpus-health check a data pipeline runs.  One token
+    aggregation + a 100-row window and reduce."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    terms = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                    lambda t: t != "",
+                )
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    ranked = (
+        terms.withColumn(
+            "rnk",
+            F.row_number().over(
+                W.partitionBy().orderBy(F.col("cnt").desc(), "term")
+            ),
+        )
+        .filter(F.col("rnk") <= ZIPF_TOP_TERMS)
+        .select(
+            F.log(F.col("rnk").cast("double")).alias("x"),
+            F.log(F.col("cnt").cast("double")).alias("y"),
+        )
+    )
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.avg(F.col("x") * F.col("y")).alias("mxy"),
+        F.avg(F.col("x") * F.col("x")).alias("mxx"),
+        F.avg(F.col("y") * F.col("y")).alias("myy"),
+    )
+    slope = (F.col("mxy") - F.col("mx") * F.col("my")) / (
+        F.col("mxx") - F.col("mx") * F.col("mx")
+    )
+    r2 = (
+        (F.col("mxy") - F.col("mx") * F.col("my"))
+        * (F.col("mxy") - F.col("mx") * F.col("my"))
+        / (
+            (F.col("mxx") - F.col("mx") * F.col("mx"))
+            * (F.col("myy") - F.col("my") * F.col("my"))
+        )
+    )
+    return agg.select(
+        F.col("n").alias("n_terms"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round(r2, 4).alias("r_squared"),
+    )
+
+
+SQL_ZIPF_FIT = f"""
+WITH tk AS (
+  SELECT t.term
+  FROM documents,
+       unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                          x -> x <> '')) AS t(term)
+), c AS (
+  SELECT term, count(*) AS cnt FROM tk GROUP BY term
+), r AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC, term) AS DOUBLE)) AS x,
+         ln(CAST(cnt AS DOUBLE)) AS y
+  FROM c
+  QUALIFY row_number() OVER (ORDER BY cnt DESC, term) <= {ZIPF_TOP_TERMS}
+), a AS (
+  SELECT count(*) AS n, avg(x) AS mx, avg(y) AS my,
+         avg(x * y) AS mxy, avg(x * x) AS mxx, avg(y * y) AS myy
+  FROM r
+)
+SELECT n AS n_terms,
+       round((mxy - mx * my) / (mxx - mx * mx), 4) AS zipf_slope,
+       round((mxy - mx * my) * (mxy - mx * my)
+             / ((mxx - mx * mx) * (myy - my * my)), 4) AS r_squared
+FROM a
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3744,6 +3985,9 @@ QUERIES = {
         SQL_CCNET_PERPLEXITY_BUCKETS,
     ),
     "exact_subseq_dedup": (q_exact_subseq_dedup, SQL_EXACT_SUBSEQ_DEDUP),
+    "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
+    "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),
+    "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     # --- Tier B: stable driver-green rows kept inside the window ---
     "seen_antijoin": (q_seen_antijoin, SQL_SEEN_ANTIJOIN),
     "first_wins_dedup": (q_first_wins_dedup, SQL_FIRST_WINS_DEDUP),
@@ -3757,14 +4001,11 @@ QUERIES = {
     "entity_bucket": (q_entity_bucket, SQL_ENTITY_BUCKET),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "simhash_near_dup": (q_simhash_near_dup, SQL_SIMHASH_NEAR_DUP),
-    "lang_id_stopword": (q_lang_id_stopword, SQL_LANG_ID_STOPWORD),
-    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "topic_classify": (q_topic_classify, SQL_TOPIC_CLASSIFY),
     "topic_distribution": (q_topic_distribution, SQL_TOPIC_DISTRIBUTION),
     "sentiment_distribution": (q_sentiment_distribution, SQL_SENTIMENT_DISTRIBUTION),
     "summary_gate": (q_summary_gate, SQL_SUMMARY_GATE),
     "article_entities": (q_article_entities, SQL_ARTICLE_ENTITIES),
-    "token_count_bpe": (q_token_count_bpe, SQL_TOKEN_COUNT_BPE),
     "kmeans_step": (q_kmeans_step, SQL_KMEANS_STEP),
     "kmeans_train": (q_kmeans_train, SQL_KMEANS_TRAIN),
     "knn_ivf_trained": (q_knn_ivf_trained, SQL_KNN_IVF_TRAINED),
@@ -3778,6 +4019,9 @@ QUERIES = {
     # --- Tier C: long-stable rows rotated past the 50-entry driver window
     #     (green in CORRECTNESS_r01-r03; still run in test_queries_oracle.py) ---
     "skip_boilerplate_filter": (q_skip_boilerplate_filter, SQL_SKIP_BOILERPLATE_FILTER),
+    "lang_id_stopword": (q_lang_id_stopword, SQL_LANG_ID_STOPWORD),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "token_count_bpe": (q_token_count_bpe, SQL_TOKEN_COUNT_BPE),
     "source_distribution": (q_source_distribution, SQL_SOURCE_DISTRIBUTION),
     "success_failure_counts": (q_success_failure_counts, SQL_SUCCESS_FAILURE_COUNTS),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),

@@ -53,6 +53,14 @@ def main() -> None:
         "files (RewriteDataFiles analog) and expire all but the last "
         "2 snapshots — the standard table-maintenance loop",
     )
+    ap.add_argument(
+        "--robots",
+        default=None,
+        help="parquet dir of a robots rules table (host, disallow "
+        "array<string>[, allow array<string>]) — RFC 9309 gate applied "
+        "to every wave's candidates (see politeness.build_robots_table "
+        "for parsing robots.txt bodies into this shape)",
+    )
     ap.add_argument("--synth-seed", type=int, default=8, help="synthetic seeds per section (when no --pages)")
     ap.add_argument("--synth-total", type=int, default=240, help="synthetic universe per section")
     args = ap.parse_args()
@@ -90,6 +98,7 @@ def main() -> None:
         webhook_key=args.webhook_key.encode("utf-8") if args.webhook_key else None,
         scheduler=args.scheduler,
         media_sink=args.media_sink,
+        robots=spark.read.parquet(args.robots) if args.robots else None,
     )
     for m in metrics:
         print(json.dumps(m))

@@ -38,6 +38,9 @@ TIER_A_R4 = [
     "domain_diversity",
     "ccnet_perplexity_buckets",
     "exact_subseq_dedup",
+    "semantic_dedup",
+    "dsir_importance",
+    "zipf_fit",
 ]
 
 
