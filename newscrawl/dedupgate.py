@@ -1,0 +1,162 @@
+"""Incremental near-duplicate gate: a persistent MinHash-LSH band index.
+
+The batch dedup operators (queries.q_minhash_lsh_candidates and friends)
+compare a corpus against itself.  A crawl doesn't have that luxury: every
+wave must ask "is this article a near-duplicate of ANYTHING crawled
+before?" without re-scanning history.  The production shape is an
+accreting LSH index — this module implements it over the wave catalog:
+
+- every kept article contributes its 4 band keys (8 md5-based string
+  minhashes over word 3-gram shingles, banded 4x2 — identical parameters
+  and hash construction to the batch operators, so the two agree) to the
+  ``minhash_bands`` table, committed atomically with the wave;
+- the next wave probes the table with ONE equi-join on (band, key).  The
+  new side (one wave's articles) is broadcast, so the historical index —
+  the 10^10-row side at web scale — streams through the join and never
+  shuffles.  Within the wave, first-wins by the crawl sort key (the same
+  tie-break as the engine's exact first-wins dedup);
+- ``flag`` mode records decisions in ``near_dup_flags``; ``drop`` mode
+  additionally withholds flagged articles from the articles sink (their
+  bands are NOT indexed — the index holds canonical documents only).
+
+Reference parity note: the reference crawler has no near-dup concept at
+all (exact url-seen only, lib/repositories/link_pool_repository.py) —
+this is one of the training-data-pipeline capabilities layered on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+N_MINHASH = 8  # == queries.N_MINHASH; 4 bands x 2 rows
+N_BANDS = N_MINHASH // 2
+
+
+def band_rows(df: DataFrame, id_col: str = "url", text_col: str = "text") -> DataFrame:
+    """(id, band, key) LSH band keys, one Arrow kernel riding the scan —
+    the same signature construction as queries._minhash_signatures (min
+    over word-3-gram shingles of md5(f'{i}|{shingle}') hex), emitted
+    directly as the 4 banded key rows. Documents with <3 tokens emit no
+    rows (no shingles -> never near-dup by this gate)."""
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    def kernel(batch_iter):
+        for pdf in batch_iter:
+            out = []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                toks = re.split(r"\s+", (text or "").lower())
+                if len(toks) < 3:
+                    continue
+                shingles = set(
+                    " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+                )
+                sig = [
+                    min(
+                        hashlib.md5(f"{i}|{s}".encode("utf-8")).hexdigest()
+                        for s in shingles
+                    )
+                    for i in range(N_MINHASH)
+                ]
+                for b in range(N_BANDS):
+                    out.append((rid, b, sig[2 * b] + sig[2 * b + 1]))
+            yield pd.DataFrame(out, columns=[id_col, "band", "key"])
+
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, schema=f"{id_col} string, band int, key string"
+    )
+
+
+def wave_flags(
+    new_articles: DataFrame,
+    prior_bands: DataFrame | None,
+    sort_col: str = "sort_key",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Gate one wave's articles against the persistent index and against
+    each other.  ``new_articles`` needs (url, text, sort_col).
+
+    Returns (flags, kept_bands, cached_bands) — cached_bands is the
+    persisted band frame both outputs derive from; the caller unpersists
+    it once the wave's writes committed.  Output frames:
+    - flags(url, matched_url, n_band_hits, scope): articles that near-dup
+      a prior-wave canonical (scope=prior_wave) or an earlier-sorted
+      article of the SAME wave (scope=same_wave; first-wins by sort_col,
+      matching the engine's exact-dedup tie-break). An article matching
+      both reports prior_wave (the stronger claim).
+    - kept_bands(url, band, key): band rows of the NON-flagged articles —
+      what the caller appends to the index.
+
+    Plan shape at scale: bands_new is one wave (bounded) and broadcasts;
+    the prior index streams through a BroadcastHashJoin probe without
+    shuffling. The same-wave check is a self-join of the broadcast-sized
+    frame. Nothing driver-side."""
+    bands_new = band_rows(new_articles).persist()
+
+    if prior_bands is not None:
+        hits_prior = (
+            prior_bands.join(
+                F.broadcast(
+                    bands_new.select(
+                        F.col("url").alias("_nurl"), "band", "key"
+                    )
+                ),
+                ["band", "key"],
+            )
+            .groupBy(F.col("_nurl").alias("url"))
+            .agg(
+                F.min("url").alias("matched_url"),
+                F.count_distinct("band", "key").alias("n_band_hits"),
+            )
+            .withColumn("scope", F.lit("prior_wave"))
+        )
+    else:
+        hits_prior = None
+
+    # same-wave: an article is flagged iff an EARLIER-sorted article of
+    # this wave shares a band key (first-wins — the earliest article in
+    # crawl order is the canonical one and is never flagged by this arm)
+    order = new_articles.select("url", F.col(sort_col).alias("_sk"))
+    a = bands_new.join(order, "url").select(
+        F.col("url").alias("_aurl"), F.col("_sk").alias("_ask"), "band", "key"
+    )
+    b = bands_new.join(order, "url").select(
+        F.col("url").alias("_burl"), F.col("_sk").alias("_bsk"), "band", "key"
+    )
+    hits_same = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("_ask") < F.col("_bsk"))
+        .groupBy(F.col("_burl").alias("url"))
+        .agg(
+            F.min(F.struct("_ask", "_aurl")).getField("_aurl").alias(
+                "matched_url"
+            ),
+            F.count_distinct("band", "key").alias("n_band_hits"),
+        )
+        .withColumn("scope", F.lit("same_wave"))
+    )
+    # transitive same-wave chains resolve to the FIRST article only as
+    # canonical is defined per pair; an article flagged via a flagged
+    # intermediate stays flagged (greedy keep-first, same spec as
+    # queries.q_semantic_dedup)
+
+    both = (
+        hits_same
+        if hits_prior is None
+        else hits_prior.unionByName(hits_same)
+    )
+    w = W.partitionBy("url").orderBy(
+        # prior_wave outranks same_wave; then the earliest match
+        F.when(F.col("scope") == "prior_wave", 0).otherwise(1),
+        "matched_url",
+    )
+    flags = (
+        both.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    kept_bands = bands_new.join(
+        flags.select("url"), "url", "left_anti"
+    )
+    return flags, kept_bands, bands_new

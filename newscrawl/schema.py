@@ -190,3 +190,30 @@ ROBOTS = T.StructType(
         T.StructField("allow", T.ArrayType(T.StringType()), True),
     ]
 )
+
+
+# Persistent MinHash-LSH band index for the incremental near-dup gate
+# (dedupgate.py): one row per (kept article, band). New waves probe this
+# table by (band, key) equality — the index accretes canonical docs only.
+MINHASH_BANDS = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("band", T.IntegerType(), False),
+        T.StructField("key", T.StringType(), False),  # concat of 2 minhashes
+        T.StructField("wave_id", T.StringType(), False),
+    ]
+)
+
+# Near-duplicate decisions per wave: why an article was flagged (and, in
+# drop mode, withheld from the articles sink). matched_url = the
+# earliest canonical match (min prior url, or the first-seen same-wave
+# article under the crawl order).
+NEAR_DUP_FLAGS = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("matched_url", T.StringType(), True),
+        T.StructField("n_band_hits", T.LongType(), True),
+        T.StructField("scope", T.StringType(), True),  # prior_wave | same_wave
+        T.StructField("wave_id", T.StringType(), False),
+    ]
+)

@@ -37,6 +37,7 @@ from . import extract as ex
 from . import (
     bucketing,
     canonicalize,
+    dedupgate,
     multimodal,
     politeness,
     priority,
@@ -52,6 +53,8 @@ from .schema import (
     FRONTIER,
     HOST_STATE,
     MEDIA_FEATURES,
+    MINHASH_BANDS,
+    NEAR_DUP_FLAGS,
     SEEN,
     WAVE_METRICS,
 )
@@ -140,9 +143,17 @@ def run_wave(
     enrich_fn=None,
     media_sink: bool = False,
     media_max_side: int = 256,
+    dedup_gate: str | None = None,
 ) -> dict:
     """One crawl wave. ``enrich_fn`` swaps the deterministic classify
     stand-in for real model inference (see extract.make_extract_kernel).
+
+    ``dedup_gate`` enables the incremental near-dup gate (dedupgate.py —
+    a persistent MinHash band index probed per wave): ``"flag"`` records
+    near-dup decisions in a ``near_dup_flags`` table; ``"drop"``
+    additionally withholds flagged articles from the articles sink.
+    Either way the kept articles' band rows append to ``minhash_bands``
+    atomically with the wave.
 
     ``media_sink=True`` adds the wave-level multimodal path: the fetched
     pages' raw payloads run through the typed-feature + resize-plan
@@ -321,6 +332,32 @@ def run_wave(
             F.lit(wid).alias("sample"),
             F.lit(False).alias("is_cleaned"),
         )
+        # incremental near-dup gate: probe the persistent band index
+        # BEFORE this wave's commit (reads the previous snapshot), flag
+        # prior-wave and first-wins same-wave near-dups, and in drop
+        # mode withhold them from the articles sink. seen/frontier
+        # semantics are untouched — a near-dup url is still "seen" and
+        # its outlinks still schedule (only the article sink dedups).
+        if dedup_gate:
+            prior_bands = (
+                catalog.read(spark, "minhash_bands", MINHASH_BANDS)
+                if catalog.table_stats("minhash_bands")
+                else None
+            )
+            nd_flags, nd_kept_bands, _nd_cached = dedupgate.wave_flags(
+                classified.select(
+                    "url", "text", F.col(priority.SORT_KEY).alias("sort_key")
+                ),
+                prior_bands,
+            )
+            nd_flags = nd_flags.withColumn("wave_id", F.lit(wid))
+            if dedup_gate == "drop":
+                articles = articles.join(
+                    nd_flags.select("url"), "url", "left_anti"
+                )
+        else:
+            nd_flags = nd_kept_bands = _nd_cached = None
+
         # carry = fetch failures (anti-join side) + too-short pages +
         # budget-deferred rows; all retried next wave (reference scrapers
         # never insert_link for these, custom_scrapers.py:96-108,376-378)
@@ -549,6 +586,33 @@ def run_wave(
                 if media_sink
                 else None
             )
+            f_nd_flags = (
+                pool.submit(
+                    timed_write,
+                    "near_dup_flags",
+                    nd_flags.coalesce(2),
+                    "append",
+                )
+                if nd_flags is not None
+                else None
+            )
+            f_nd_bands = (
+                pool.submit(
+                    timed_write,
+                    "minhash_bands",
+                    nd_kept_bands.select("url", "band", "key")
+                    .withColumn("wave_id", F.lit(wid))
+                    .coalesce(
+                        write_width(
+                            "minhash_bands",
+                            n_extracted * (dedupgate.N_BANDS if dedup_gate else 1),
+                        )
+                    ),
+                    "append",
+                )
+                if nd_kept_bands is not None
+                else None
+            )
             # deletable tier: ONE job builds both accelerator artifacts
             # for this wave's delta — the cuckoo blob (serves the spill
             # window now) and the bloom bitmap (the precomputed fold
@@ -574,7 +638,13 @@ def run_wave(
                 f_hosts.result()
             if f_media is not None:
                 f_media.result()
+            if f_nd_flags is not None:
+                f_nd_flags.result()
+            if f_nd_bands is not None:
+                f_nd_bands.result()
             accel_rows = f_accel.result() if f_accel is not None else None
+        if _nd_cached is not None:
+            _nd_cached.unpersist()
         tick("parallel writes+stats")
 
         n_yielded = sum(r.n for r in stat_rows)
@@ -687,6 +757,7 @@ def run_crawl(
     fetch_buckets: int = 32,
     enrich_fn=None,
     media_sink: bool = False,
+    dedup_gate: str | None = None,
 ) -> list[dict]:
     """Run (or resume) a crawl. Already-committed waves are skipped —
     replaying is a no-op, which is the resume/idempotence guarantee."""
@@ -715,9 +786,16 @@ def run_crawl(
                 fetch_buckets=fetch_buckets,
                 enrich_fn=enrich_fn,
                 media_sink=media_sink,
+                dedup_gate=dedup_gate,
             )
         )
     return out
+
+
+def read_near_dup_flags(
+    spark: SparkSession, catalog: ManifestParquetCatalog
+) -> DataFrame:
+    return catalog.read(spark, "near_dup_flags", NEAR_DUP_FLAGS)
 
 
 def read_articles(spark: SparkSession, catalog: ManifestParquetCatalog) -> DataFrame:

@@ -54,6 +54,15 @@ def main() -> None:
         "2 snapshots — the standard table-maintenance loop",
     )
     ap.add_argument(
+        "--dedup-gate",
+        choices=("flag", "drop"),
+        default=None,
+        help="incremental near-dup gate: probe the persistent MinHash "
+        "band index each wave; 'flag' records decisions in "
+        "near_dup_flags, 'drop' also withholds flagged articles from "
+        "the articles sink",
+    )
+    ap.add_argument(
         "--robots",
         default=None,
         help="parquet dir of a robots rules table (host, disallow "
@@ -99,6 +108,7 @@ def main() -> None:
         scheduler=args.scheduler,
         media_sink=args.media_sink,
         robots=spark.read.parquet(args.robots) if args.robots else None,
+        dedup_gate=args.dedup_gate,
     )
     for m in metrics:
         print(json.dumps(m))

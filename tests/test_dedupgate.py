@@ -1,0 +1,142 @@
+"""Incremental near-dup gate: persistent MinHash band index over waves.
+
+Fixture strategy: run a normal 2-wave crawl to learn which url lands in
+which wave, then rebuild the page corpus with a wave-1 url's html/text
+replaced by a wave-0 url's content and re-crawl with the gate on — the
+copied article must be flagged (scope=prior_wave) and, in drop mode,
+withheld from the articles sink while seen/frontier semantics stay
+untouched.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from newscrawl import synth, wave
+from newscrawl.storage import ManifestParquetCatalog
+
+CFG = synth.SynthConfig(n_seed=2, n_total=16, n_waves=2)
+
+
+@pytest.fixture(scope="module")
+def wave_urls(spark, tmp_path_factory):
+    """(wave0_url, wave1_url, doctored_pages): the baseline crawl's wave
+    membership plus a corpus where wave1_url serves wave0_url's page."""
+    cat = ManifestParquetCatalog(str(tmp_path_factory.mktemp("base")))
+    wave.run_crawl(spark, cat, CFG, n_waves=2)
+    arts = wave.read_articles(spark, cat).select("url", "wave_id").collect()
+    w0 = sorted(r.url for r in arts if r.wave_id == "w0000")
+    w1 = sorted(r.url for r in arts if r.wave_id == "w0001")
+    assert w0 and w1, "need articles in both waves"
+    src_url, dup_url = w0[0], w1[0]
+    pages = synth.build_pages_df(spark, CFG, num_partitions=4)
+    donor = pages.filter(F.col("url") == src_url).select(
+        F.col("html").alias("_h"), F.col("text").alias("_t")
+    )
+    doctored = (
+        pages.crossJoin(F.broadcast(donor))
+        .withColumn(
+            "html",
+            F.when(F.col("url") == dup_url, F.col("_h")).otherwise(
+                F.col("html")
+            ),
+        )
+        .withColumn(
+            "text",
+            F.when(F.col("url") == dup_url, F.col("_t")).otherwise(
+                F.col("text")
+            ),
+        )
+        .drop("_h", "_t")
+    )
+    return src_url, dup_url, doctored
+
+
+def test_flag_mode_records_prior_wave_match(spark, tmp_path, wave_urls):
+    src_url, dup_url, pages = wave_urls
+    cat = ManifestParquetCatalog(str(tmp_path / "flag"))
+    wave.run_crawl(spark, cat, CFG, n_waves=2, pages=pages, dedup_gate="flag")
+    flags = {
+        r.url: r for r in wave.read_near_dup_flags(spark, cat).collect()
+    }
+    assert dup_url in flags
+    assert flags[dup_url].scope == "prior_wave"
+    assert flags[dup_url].matched_url == src_url
+    assert flags[dup_url].n_band_hits >= 1
+    # flag mode keeps the article in the sink
+    urls = {r.url for r in wave.read_articles(spark, cat).collect()}
+    assert dup_url in urls
+
+
+def test_drop_mode_withholds_article_but_not_seen(spark, tmp_path, wave_urls):
+    src_url, dup_url, pages = wave_urls
+    cat = ManifestParquetCatalog(str(tmp_path / "drop"))
+    wave.run_crawl(spark, cat, CFG, n_waves=2, pages=pages, dedup_gate="drop")
+    urls = {r.url for r in wave.read_articles(spark, cat).collect()}
+    assert dup_url not in urls and src_url in urls
+    # the url is still SEEN (crawled) — only the article sink dedups
+    seen = {r.url for r in wave.read_seen(spark, cat).collect()}
+    assert dup_url in seen
+    # the index holds canonical docs only: no bands for the dropped url
+    from newscrawl.schema import MINHASH_BANDS
+
+    bands = cat.read(spark, "minhash_bands", MINHASH_BANDS)
+    assert bands.filter(F.col("url") == dup_url).count() == 0
+    assert bands.filter(F.col("url") == src_url).count() == 4
+
+
+def test_gate_off_is_unchanged_and_gate_without_dups_is_noop(
+    spark, tmp_path, wave_urls
+):
+    """On the UNDOCTORED corpus the gate flags nothing and the articles
+    table is byte-identical with the gate on and off."""
+    cat_off = ManifestParquetCatalog(str(tmp_path / "off"))
+    wave.run_crawl(spark, cat_off, CFG, n_waves=2)
+    cat_on = ManifestParquetCatalog(str(tmp_path / "on"))
+    wave.run_crawl(spark, cat_on, CFG, n_waves=2, dedup_gate="drop")
+    get = lambda c: sorted(
+        (r.url, r.wave_id, r.text)
+        for r in wave.read_articles(spark, c).collect()
+    )
+    assert get(cat_off) == get(cat_on)
+    assert wave.read_near_dup_flags(spark, cat_on).count() == 0
+
+
+def test_same_wave_first_wins(spark, tmp_path, wave_urls):
+    """Two urls with identical content in the SAME wave: the one earlier
+    in crawl order is canonical; the later one is flagged same_wave."""
+    src_url, _dup, _pages = wave_urls
+    cat0 = ManifestParquetCatalog(str(tmp_path / "probe"))
+    wave.run_crawl(spark, cat0, CFG, n_waves=1)
+    art_urls = {r.url for r in wave.read_articles(spark, cat0).collect()}
+    # CRAWL order (sort_key), not alphabetical — the gate's first-wins
+    # tie-break is the crawl order
+    ordered = [u for _w, u in wave.crawl_order(spark, cat0) if u in art_urls]
+    assert len(ordered) >= 2
+    a_url, b_url = ordered[0], ordered[1]
+    pages = synth.build_pages_df(spark, CFG, num_partitions=4)
+    donor = pages.filter(F.col("url") == a_url).select(
+        F.col("html").alias("_h"), F.col("text").alias("_t")
+    )
+    doctored = (
+        pages.crossJoin(F.broadcast(donor))
+        .withColumn(
+            "html",
+            F.when(F.col("url") == b_url, F.col("_h")).otherwise(F.col("html")),
+        )
+        .withColumn(
+            "text",
+            F.when(F.col("url") == b_url, F.col("_t")).otherwise(F.col("text")),
+        )
+        .drop("_h", "_t")
+    )
+    cat = ManifestParquetCatalog(str(tmp_path / "same"))
+    wave.run_crawl(
+        spark, cat, CFG, n_waves=1, pages=doctored, dedup_gate="drop"
+    )
+    flags = {r.url: r for r in wave.read_near_dup_flags(spark, cat).collect()}
+    assert b_url in flags and flags[b_url].scope == "same_wave"
+    assert flags[b_url].matched_url == a_url
+    urls = {r.url for r in wave.read_articles(spark, cat).collect()}
+    assert a_url in urls and b_url not in urls
