@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     "semantic_dedup",
     "dsir_importance",
     "zipf_fit",
+    "pq_quantize",
+    "knn_pq",
 ]
 
 

@@ -3948,6 +3948,225 @@ FROM a
 """
 
 
+PQ_SUBSPACES = 2  # M: embedding splits into M contiguous subvectors
+PQ_K = 8  # codebook entries per subspace (seed vectors 1..8)
+
+
+def _pq_halves(col):
+    """(m=0 half, m=1 half) of an ARRAY column, computed from its own
+    length so the op is dimension-agnostic."""
+    n = F.size(col)
+    h = (n / F.lit(PQ_SUBSPACES)).cast("int")
+    return F.slice(col, 1, h), F.slice(col, h + 1, n - h)
+
+
+def q_pq_quantize(spark, sf_dir):
+    """Product quantization (the IVF-PQ memory layout): split every
+    embedding into M=2 contiguous subvectors, assign each to its nearest
+    of K=8 codebook centroids (the seed vectors' halves — deterministic
+    codebooks both engines share) by squared L2, and report the code
+    pair plus the reconstruction mean-absolute-error.  8 bits of code
+    per subspace compress a float vector ~Dx4/M bytes -> M bytes — the
+    standard billion-vector ANN memory trick; MAE quantifies the loss.
+    Distances expand to dot products (|x-c|^2 = x.x - 2x.c + c.c), so
+    the whole assignment is JVM expressions over a broadcast codebook."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    h0, h1 = _pq_halves(F.col("embedding"))
+    sub = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("m"), h0.alias("half")),
+                F.struct(F.lit(1).alias("m"), h1.alias("half")),
+            )
+        ).alias("s"),
+    ).select("vec_id", "s.m", "s.half")
+    c0, c1 = _pq_halves(F.col("embedding"))
+    cb = (
+        emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= PQ_K))
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.explode(
+                F.array(
+                    F.struct(F.lit(0).alias("m"), c0.alias("cvec")),
+                    F.struct(F.lit(1).alias("m"), c1.alias("cvec")),
+                )
+            ).alias("s"),
+        )
+        .select("cid", "s.m", "s.cvec")
+    )
+    d2 = (
+        _vec_dot(F.col("half"), F.col("half"))
+        - 2 * _vec_dot(F.col("half"), F.col("cvec"))
+        + _vec_dot(F.col("cvec"), F.col("cvec"))
+    )
+    w = W.partitionBy("vec_id", "m").orderBy(F.round(d2, 6), F.col("cid"))
+    assigned = (
+        sub.join(F.broadcast(cb), "m")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    # reconstruction error of the chosen centroid, element-wise
+    abs_err = F.aggregate(
+        F.zip_with(
+            F.col("half"),
+            F.col("cvec"),
+            lambda x, c: F.abs(x.cast("double") - c.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    per_m = assigned.select(
+        "vec_id",
+        "m",
+        F.col("cid").alias("code"),
+        abs_err.alias("err"),
+        F.size("half").alias("dims"),
+    )
+    return (
+        per_m.groupBy("vec_id")
+        .agg(
+            F.max(F.when(F.col("m") == 0, F.col("code"))).alias("code0"),
+            F.max(F.when(F.col("m") == 1, F.col("code"))).alias("code1"),
+            F.round(F.sum("err") / F.sum("dims"), 4).alias("recon_mae"),
+        )
+    )
+
+
+_SQL_PQ_CTES = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), sub AS (
+  SELECT vec_id, m,
+         CASE WHEN m = 0 THEN v[1:CAST(len(v) / {PQ_SUBSPACES} AS INT)]
+              ELSE v[CAST(len(v) / {PQ_SUBSPACES} AS INT) + 1:len(v)] END
+           AS half
+  FROM e, unnest([0, 1]) AS t(m)
+), cb AS (
+  SELECT vec_id AS cid, m,
+         CASE WHEN m = 0 THEN v[1:CAST(len(v) / {PQ_SUBSPACES} AS INT)]
+              ELSE v[CAST(len(v) / {PQ_SUBSPACES} AS INT) + 1:len(v)] END
+           AS cvec
+  FROM e, unnest([0, 1]) AS t(m)
+  WHERE vec_id BETWEEN 1 AND {PQ_K}
+), assigned AS (
+  SELECT s.vec_id, s.m, c.cid AS code, s.half, c.cvec
+  FROM sub s JOIN cb c USING (m)
+  QUALIFY row_number() OVER (
+    PARTITION BY s.vec_id, s.m
+    ORDER BY round(list_dot_product(s.half, s.half)
+                   - 2 * list_dot_product(s.half, c.cvec)
+                   + list_dot_product(c.cvec, c.cvec), 6),
+             c.cid
+  ) = 1
+)"""
+
+
+SQL_PQ_QUANTIZE = (
+    _SQL_PQ_CTES
+    + """
+SELECT vec_id,
+       max(CASE WHEN m = 0 THEN code END) AS code0,
+       max(CASE WHEN m = 1 THEN code END) AS code1,
+       round(sum(list_sum(list_transform(range(1, len(half) + 1),
+                                         i -> abs(half[i] - cvec[i]))))
+             / sum(len(half)), 4) AS recon_mae
+FROM assigned
+GROUP BY vec_id
+"""
+)
+
+
+def q_knn_pq(spark, sf_dir):
+    """ANN search over the PQ codes (asymmetric distance computation):
+    the query stays full-precision; each database vector's distance is
+    the sum over subspaces of |q_half - codebook[code]|^2 — M lookups
+    into a precomputed 2xK distance table instead of a D-dim dot per
+    vector, the entire point of PQ at billion scale.  Top-10 ascending,
+    deterministic tie-break; in_exact_topk marks agreement with the
+    float brute force."""
+    codes = q_pq_quantize(spark, sf_dir).select("vec_id", "code0", "code1")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qrow = emb.filter(F.col("vec_id") == 0).head()
+    qv = [float(x) for x in qrow["embedding"]]
+    h = len(qv) // PQ_SUBSPACES
+    qh = {0: qv[:h], 1: qv[h:]}
+    cents = {
+        (r["vec_id"], m): (
+            [float(x) for x in r["embedding"]][:h]
+            if m == 0
+            else [float(x) for x in r["embedding"]][h:]
+        )
+        for r in emb.filter(
+            (F.col("vec_id") >= 1) & (F.col("vec_id") <= PQ_K)
+        ).collect()
+        for m in (0, 1)
+    }
+    # 2 x K distance table, computed driver-side (bounded: M*K floats)
+    dt = {
+        (m, cid): sum((a - b) ** 2 for a, b in zip(qh[m], cents[(cid, m)]))
+        for m in (0, 1)
+        for cid in range(1, PQ_K + 1)
+    }
+    d0 = F.create_map(
+        *[x for cid in range(1, PQ_K + 1) for x in (F.lit(cid), F.lit(dt[(0, cid)]))]
+    )
+    d1 = F.create_map(
+        *[x for cid in range(1, PQ_K + 1) for x in (F.lit(cid), F.lit(dt[(1, cid)]))]
+    )
+    adc = d0[F.col("code0")] + d1[F.col("code1")]
+    exact = q_knn_cosine(spark, sf_dir).select("vec_id", F.lit(1).alias("_in"))
+    return (
+        codes.filter(F.col("vec_id") != 0)
+        .select("vec_id", adc.alias("adc_raw"))
+        .orderBy(F.round("adc_raw", 6), F.col("vec_id"))
+        .limit(10)
+        .join(exact, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.round("adc_raw", 4).alias("adc_dist"),
+            F.coalesce("_in", F.lit(0)).alias("in_exact_topk"),
+        )
+    )
+
+
+SQL_KNN_PQ = (
+    _SQL_PQ_CTES
+    + f""",
+codes AS (
+  SELECT vec_id,
+         max(CASE WHEN m = 0 THEN code END) AS code0,
+         max(CASE WHEN m = 1 THEN code END) AS code1
+  FROM assigned GROUP BY vec_id
+), qh AS (
+  SELECT m, half AS qhalf FROM sub WHERE vec_id = 0
+), dtab AS (
+  SELECT c.m, c.cid,
+         list_dot_product(q.qhalf, q.qhalf)
+         - 2 * list_dot_product(q.qhalf, c.cvec)
+         + list_dot_product(c.cvec, c.cvec) AS d2
+  FROM cb c JOIN qh q USING (m)
+), adc AS (
+  SELECT k.vec_id, t0.d2 + t1.d2 AS adc_raw
+  FROM codes k
+  JOIN dtab t0 ON t0.m = 0 AND t0.cid = k.code0
+  JOIN dtab t1 ON t1.m = 1 AND t1.cid = k.code1
+  WHERE k.vec_id <> 0
+), top AS (
+  SELECT vec_id, adc_raw FROM adc
+  ORDER BY round(adc_raw, 6), vec_id
+  LIMIT 10
+), exact AS (
+  SELECT vec_id FROM ({SQL_KNN_COSINE}) x
+)
+SELECT t.vec_id, round(t.adc_raw, 4) AS adc_dist,
+       CAST(e2.vec_id IS NOT NULL AS INT) AS in_exact_topk
+FROM top t LEFT JOIN exact e2 ON t.vec_id = e2.vec_id
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3996,17 +4215,17 @@ QUERIES = {
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
+    "pq_quantize": (q_pq_quantize, SQL_PQ_QUANTIZE),
+    "knn_pq": (q_knn_pq, SQL_KNN_PQ),
     # --- Tier B: stable driver-green rows kept inside the window ---
     "seen_antijoin": (q_seen_antijoin, SQL_SEEN_ANTIJOIN),
     "first_wins_dedup": (q_first_wins_dedup, SQL_FIRST_WINS_DEDUP),
-    "host_budget_gate": (q_host_budget_gate, SQL_HOST_BUDGET_GATE),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "minhash_lsh_candidates": (q_minhash_lsh_candidates, SQL_MINHASH_LSH_CANDIDATES),
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
     "knn_ivf": (q_knn_ivf, SQL_KNN_IVF),
     "simhash": (q_simhash, SQL_SIMHASH),
-    "entity_bucket": (q_entity_bucket, SQL_ENTITY_BUCKET),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "simhash_near_dup": (q_simhash_near_dup, SQL_SIMHASH_NEAR_DUP),
     "topic_classify": (q_topic_classify, SQL_TOPIC_CLASSIFY),
@@ -4027,6 +4246,8 @@ QUERIES = {
     # --- Tier C: long-stable rows rotated past the 50-entry driver window
     #     (green in CORRECTNESS_r01-r03; still run in test_queries_oracle.py) ---
     "skip_boilerplate_filter": (q_skip_boilerplate_filter, SQL_SKIP_BOILERPLATE_FILTER),
+    "host_budget_gate": (q_host_budget_gate, SQL_HOST_BUDGET_GATE),
+    "entity_bucket": (q_entity_bucket, SQL_ENTITY_BUCKET),
     "lang_id_stopword": (q_lang_id_stopword, SQL_LANG_ID_STOPWORD),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "token_count_bpe": (q_token_count_bpe, SQL_TOKEN_COUNT_BPE),

@@ -41,6 +41,8 @@ TIER_A_R4 = [
     "semantic_dedup",
     "dsir_importance",
     "zipf_fit",
+    "pq_quantize",
+    "knn_pq",
 ]
 
 
