@@ -40,11 +40,18 @@ def stream_crawl(
     max_files_per_trigger: int | None = None,
     scheduler: str = "reference",
     webhook_key: bytes | None = None,
+    dedup_gate: str | None = None,
 ) -> int:
     """Process all currently-available page files as a sequence of crawl
     waves (one per micro-batch), then stop. Returns waves executed.
 
     The seed frontier must already be committed (wave.init_crawl).
+    ``dedup_gate`` passes through to run_wave: because the MinHash band
+    index lives in the catalog and each micro-batch commits atomically,
+    the streaming mode gets INCREMENTAL cross-batch near-dup gating for
+    free — a page arriving in a later micro-batch that near-duplicates
+    any earlier batch's article is flagged (or dropped) against the
+    persisted index, exactly-once under foreachBatch retries.
     """
     reader = spark.readStream.schema(PAGES)
     if max_files_per_trigger is not None:
@@ -66,6 +73,7 @@ def stream_crawl(
             budget=budget,
             scheduler=scheduler,
             webhook_key=webhook_key,
+            dedup_gate=dedup_gate,
         )
         n_waves["n"] += 1
 

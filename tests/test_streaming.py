@@ -273,3 +273,65 @@ def test_session_window_stream_merges_and_drops_late(spark, tmp_path):
     assert a.session_end == base + dt.timedelta(minutes=50)
     # adv's session is still open (watermark has not passed its end)
     assert len(rows) == 1
+
+
+def test_stream_crawl_dedup_gate_across_micro_batches(spark, tmp_path):
+    """Cross-BATCH near-dup gating: a page arriving in a later
+    micro-batch whose content duplicates an earlier batch's article is
+    flagged against the persisted band index (scope=prior_wave) and, in
+    drop mode, withheld from the articles sink."""
+    from pyspark.sql import functions as F
+
+    cfg = synth.SynthConfig(n_seed=2, n_total=16, n_waves=2)
+    # learn wave membership from a reference batch crawl: wave0 articles
+    # are the seed fetches (== streaming batch 1), wave1 articles are
+    # child fetches (== streaming batch 2)
+    ref = ManifestParquetCatalog(str(tmp_path / "ref"))
+    wave.run_crawl(spark, ref, cfg, n_waves=2)
+    arts = wave.read_articles(spark, ref).select("url", "wave_id").collect()
+    src_url = sorted(r.url for r in arts if r.wave_id == "w0000")[0]
+    dup_url = sorted(r.url for r in arts if r.wave_id == "w0001")[0]
+
+    pages = synth.build_pages_df(spark, cfg, num_partitions=4)
+    donor = pages.filter(F.col("url") == src_url).select(
+        F.col("html").alias("_h"), F.col("text").alias("_t")
+    )
+    doctored = (
+        pages.crossJoin(F.broadcast(donor))
+        .withColumn(
+            "html",
+            F.when(F.col("url") == dup_url, F.col("_h")).otherwise(F.col("html")),
+        )
+        .withColumn(
+            "text",
+            F.when(F.col("url") == dup_url, F.col("_t")).otherwise(F.col("text")),
+        )
+        .drop("_h", "_t")
+    )
+    pages_dir = tmp_path / "pages"
+    ckpt = str(tmp_path / "ckpt")
+    catalog = ManifestParquetCatalog(str(tmp_path / "cat"))
+    wave.init_crawl(spark, catalog, synth.build_seeds_df(spark, cfg))
+
+    # batch 1: only this file exists -> seeds fetched, src_url indexed
+    doctored.coalesce(1).write.parquet(str(pages_dir / "batch1"))
+    n1 = streaming.stream_crawl(
+        spark, catalog, str(pages_dir / "*"), checkpoint_dir=ckpt,
+        dedup_gate="drop",
+    )
+    assert n1 == 1
+    # batch 2: a new file arrives with the same universe (children now
+    # in the frontier; already-seen urls anti-join away)
+    doctored.coalesce(1).write.parquet(str(pages_dir / "batch2"))
+    n2 = streaming.stream_crawl(
+        spark, catalog, str(pages_dir / "*"), checkpoint_dir=ckpt,
+        dedup_gate="drop",
+    )
+    assert n2 == 1
+
+    flags = {r.url: r for r in wave.read_near_dup_flags(spark, catalog).collect()}
+    assert dup_url in flags
+    assert flags[dup_url].scope == "prior_wave"
+    assert flags[dup_url].matched_url == src_url
+    urls = {r.url for r in wave.read_articles(spark, catalog).collect()}
+    assert src_url in urls and dup_url not in urls
