@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "zipf_fit",
     "pq_quantize",
     "knn_pq",
+    "sequence_pack",
 ]
 
 

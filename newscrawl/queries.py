@@ -4167,6 +4167,67 @@ FROM top t LEFT JOIN exact e2 ON t.vec_id = e2.vec_id
 )
 
 
+PACK_SEQ_TOKENS = 512  # training sequence length (tokens per pack)
+
+
+def q_sequence_pack(spark, sf_dir):
+    """Training-sequence packing (the final step before tokenized text
+    hits the trainer): concatenate documents in a deterministic order
+    and split every PACK_SEQ_TOKENS tokens — each document learns the
+    pack it starts in and its token offset within that pack, plus
+    whether it crosses a pack boundary (the fraction that do measures
+    wasted attention span vs padding).
+
+    Packing is PER LANGUAGE (partitioned Window): a single global
+    running sum would serialize onto one task, but real pipelines pack
+    within shards anyway (per language / per source file) — so the
+    shape that is correct at 100 TB is also the one implemented here.
+    One scan + one partitioned cumulative-sum Window."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    base = docs.select("doc_id", "lang", n_tok.cast("long").alias("n_tokens"))
+    return base.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        (cum / PACK_SEQ_TOKENS).cast("long").alias("pack_id"),
+        (cum % PACK_SEQ_TOKENS).cast("long").alias("offset_in_pack"),
+        (
+            (cum % PACK_SEQ_TOKENS + F.col("n_tokens")) > PACK_SEQ_TOKENS
+        ).cast("int").alias("crosses_boundary"),
+    )
+
+
+SQL_SEQUENCE_PACK = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM t
+)
+SELECT doc_id, lang, n_tokens,
+       -- // = floor division (CAST(double AS BIGINT) would ROUND in
+       -- DuckDB, while Spark's double->long cast truncates)
+       CAST(cum // {PACK_SEQ_TOKENS} AS BIGINT) AS pack_id,
+       CAST(cum % {PACK_SEQ_TOKENS} AS BIGINT) AS offset_in_pack,
+       CAST(cum % {PACK_SEQ_TOKENS} + n_tokens > {PACK_SEQ_TOKENS} AS INT)
+         AS crosses_boundary
+FROM c
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4217,10 +4278,10 @@ QUERIES = {
     "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
     "pq_quantize": (q_pq_quantize, SQL_PQ_QUANTIZE),
     "knn_pq": (q_knn_pq, SQL_KNN_PQ),
+    "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),
     # --- Tier B: stable driver-green rows kept inside the window ---
     "seen_antijoin": (q_seen_antijoin, SQL_SEEN_ANTIJOIN),
     "first_wins_dedup": (q_first_wins_dedup, SQL_FIRST_WINS_DEDUP),
-    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "minhash_lsh_candidates": (q_minhash_lsh_candidates, SQL_MINHASH_LSH_CANDIDATES),
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
@@ -4246,6 +4307,7 @@ QUERIES = {
     # --- Tier C: long-stable rows rotated past the 50-entry driver window
     #     (green in CORRECTNESS_r01-r03; still run in test_queries_oracle.py) ---
     "skip_boilerplate_filter": (q_skip_boilerplate_filter, SQL_SKIP_BOILERPLATE_FILTER),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "host_budget_gate": (q_host_budget_gate, SQL_HOST_BUDGET_GATE),
     "entity_bucket": (q_entity_bucket, SQL_ENTITY_BUCKET),
     "lang_id_stopword": (q_lang_id_stopword, SQL_LANG_ID_STOPWORD),

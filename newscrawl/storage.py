@@ -65,19 +65,65 @@ class ManifestParquetCatalog:
             int(fn[:-5]) for fn in os.listdir(d) if fn.endswith(".json")
         )
 
+    # -- tags (Iceberg named-ref analog) --------------------------------
+    def _tags_path(self) -> str:
+        return os.path.join(self.root, "_tags.json")
+
+    def tags(self) -> dict[str, int]:
+        p = self._tags_path()
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return {k: int(v) for k, v in json.load(f).items()}
+
+    def tag(self, name: str, snapshot_id: int | None = None) -> int:
+        """Pin a name to a snapshot (default: the current one) — the
+        Iceberg tag analog.  Tagged snapshots survive expire_snapshots,
+        so a tag is a durable restore/compare point ('pre-migration',
+        'release-2026-08').  Atomic pointer swap like commits."""
+        sid = (
+            self.current_snapshot()["snapshot_id"]
+            if snapshot_id is None
+            else snapshot_id
+        )
+        self.snapshot(sid)  # raises if unknown
+        tags = self.tags()
+        tags[name] = sid
+        tmp = self._tags_path() + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(tags, f)
+        os.replace(tmp, self._tags_path())
+        return sid
+
+    def drop_tag(self, name: str) -> None:
+        tags = self.tags()
+        tags.pop(name, None)
+        tmp = self._tags_path() + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(tags, f)
+        os.replace(tmp, self._tags_path())
+
+    def resolve_tag(self, name: str) -> int:
+        return self.tags()[name]
+
     def expire_snapshots(self, keep_last: int = 2) -> dict:
         """Iceberg maintenance analog: drop all but the newest
-        ``keep_last`` snapshots (the current one always survives) and
-        delete data files no retained snapshot references. Time-travel
-        history shrinks to the retained window; live reads are
-        untouched. Returns {snapshots_removed, files_removed}."""
+        ``keep_last`` snapshots (the current one always survives, and so
+        does every TAGGED snapshot — tags are durable refs) and delete
+        data files no retained snapshot references. Time-travel history
+        shrinks to the retained window; live reads are untouched.
+        Returns {snapshots_removed, files_removed}."""
         import shutil
 
         ids = self.snapshot_ids()
         cur = self.current_snapshot()
         if cur is None or len(ids) <= keep_last:
             return {"snapshots_removed": 0, "files_removed": 0}
-        keep_ids = set(ids[-keep_last:]) | {cur["snapshot_id"]}
+        keep_ids = (
+            set(ids[-keep_last:])
+            | {cur["snapshot_id"]}
+            | set(self.tags().values())
+        )
         keep_files: set[str] = set()
         for sid in keep_ids:
             snap = self.snapshot(sid)
@@ -200,11 +246,17 @@ class ManifestParquetCatalog:
         table: str,
         schema: T.StructType,
         snapshot_id: int | None = None,
+        tag: str | None = None,
     ) -> DataFrame:
         """Read a table's live file set — at the current snapshot, or
-        time-travel to any historical ``snapshot_id`` (data files are
-        immutable and manifests keep every version's file list, so old
-        versions stay byte-exact until explicitly expired)."""
+        time-travel to any historical ``snapshot_id`` or named ``tag``
+        (data files are immutable and manifests keep every version's
+        file list, so old versions stay byte-exact until explicitly
+        expired; tagged snapshots never expire)."""
+        if tag is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id or tag, not both")
+            snapshot_id = self.resolve_tag(tag)
         files = self.table_files(table, snapshot_id)
         if not files:
             return spark.createDataFrame([], schema=schema)

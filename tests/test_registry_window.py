@@ -43,6 +43,7 @@ TIER_A_R4 = [
     "zipf_fit",
     "pq_quantize",
     "knn_pq",
+    "sequence_pack",
 ]
 
 

@@ -272,3 +272,36 @@ def test_compact_rewrites_small_files(spark, tmp_path):
         for r in wave.read_articles(spark, cat).collect()
     )
     assert got2 == want
+
+
+def test_tags_pin_snapshots_and_survive_expiry(spark, tmp_path):
+    """Iceberg tag semantics: a tag is a durable named ref — tagged
+    snapshots survive expire_snapshots, reads resolve by tag, and
+    dropping the tag releases the snapshot for expiry."""
+    cat = ManifestParquetCatalog(str(tmp_path / "tags"))
+    wave.run_crawl(spark, cat, CFG, n_waves=3)
+    ids = cat.snapshot_ids()
+    first_commit = ids[1]  # ids[0] is the init snapshot
+    want = sorted(
+        (r.url, r.wave_id)
+        for r in cat.read(
+            spark, "articles", wave.ARTICLES, snapshot_id=first_commit
+        ).collect()
+    )
+    assert cat.tag("after-wave-0", first_commit) == first_commit
+    assert cat.resolve_tag("after-wave-0") == first_commit
+    # expiry keeps the tagged snapshot even though keep_last=1
+    res = cat.expire_snapshots(keep_last=1)
+    assert res["snapshots_removed"] > 0
+    assert first_commit in cat.snapshot_ids()
+    got = sorted(
+        (r.url, r.wave_id)
+        for r in cat.read(
+            spark, "articles", wave.ARTICLES, tag="after-wave-0"
+        ).collect()
+    )
+    assert got == want
+    # drop the tag -> the snapshot becomes expirable
+    cat.drop_tag("after-wave-0")
+    cat.expire_snapshots(keep_last=1)
+    assert first_commit not in cat.snapshot_ids()
