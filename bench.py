@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "pq_quantize",
     "knn_pq",
     "sequence_pack",
+    "mix_resample",
 ]
 
 

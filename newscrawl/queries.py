@@ -4228,6 +4228,84 @@ FROM c
 """
 
 
+def q_mix_resample(spark, sf_dir):
+    """Materialize the temperature-resampled training mix that
+    q_domain_diversity only weighs: each document draws its copy count
+    from its slice's resampling rate p = share^(alpha-1) / Z (alpha=0.5;
+    rare slices upsample with p>1, dominant slices downsample with p<1;
+    E[output size] = corpus size).  n_copies = floor(p) + 1{u < frac(p)}
+    with u a DETERMINISTIC md5-uniform draw per doc — replayable, no
+    rand(), identical in both engines (60-bit md5 prefix / 2^60 is exact
+    binary arithmetic).  One slice aggregation broadcast into the scan;
+    at 100 TB this is the standard map-side mixing pass."""
+    docs = _t(spark, sf_dir, "documents")
+    slices = docs.groupBy("source", "lang").agg(F.count("*").alias("n_slice"))
+    tot = W.partitionBy()
+    # staged selects: a window over a window expression is illegal in
+    # DuckDB (and fragile in Spark) — materialize share, then Z, then p
+    shared = slices.select(
+        "source",
+        "lang",
+        (F.col("n_slice") / F.sum("n_slice").over(tot)).alias("share"),
+    )
+    withz = shared.select(
+        "source",
+        "lang",
+        "share",
+        F.sum(F.pow("share", F.lit(MIX_TEMPERATURE_ALPHA))).over(tot).alias(
+            "zsum"
+        ),
+    )
+    rates = withz.select(
+        "source",
+        "lang",
+        F.round(
+            F.pow("share", F.lit(MIX_TEMPERATURE_ALPHA - 1.0)) / F.col("zsum"),
+            6,
+        ).alias("p"),
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        / F.lit(float(1 << 60))
+    )
+    p = F.col("p")
+    n_copies = F.floor(p).cast("long") + (u < (p - F.floor(p))).cast("long")
+    return docs.join(F.broadcast(rates), ["source", "lang"]).select(
+        "doc_id",
+        "source",
+        "lang",
+        p.alias("rate"),
+        n_copies.alias("n_copies"),
+    )
+
+
+SQL_MIX_RESAMPLE = f"""
+WITH s AS (
+  SELECT source, lang, count(*) AS n_slice FROM documents GROUP BY 1, 2
+), sh AS (
+  SELECT source, lang,
+         n_slice * 1.0 / sum(n_slice) OVER () AS share
+  FROM s
+), z AS (
+  SELECT source, lang, share,
+         sum(pow(share, {MIX_TEMPERATURE_ALPHA})) OVER () AS zsum
+  FROM sh
+), r AS (
+  SELECT source, lang,
+         round(pow(share, {MIX_TEMPERATURE_ALPHA - 1.0}) / zsum, 6) AS p
+  FROM z
+)
+SELECT d.doc_id, d.source, d.lang, r.p AS rate,
+       CAST(floor(r.p) AS BIGINT)
+       + CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) / {float(1 << 60)!r}
+              < r.p - floor(r.p) AS BIGINT) AS n_copies
+FROM documents d JOIN r USING (source, lang)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4279,10 +4357,10 @@ QUERIES = {
     "pq_quantize": (q_pq_quantize, SQL_PQ_QUANTIZE),
     "knn_pq": (q_knn_pq, SQL_KNN_PQ),
     "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),
+    "mix_resample": (q_mix_resample, SQL_MIX_RESAMPLE),
     # --- Tier B: stable driver-green rows kept inside the window ---
     "seen_antijoin": (q_seen_antijoin, SQL_SEEN_ANTIJOIN),
     "first_wins_dedup": (q_first_wins_dedup, SQL_FIRST_WINS_DEDUP),
-    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "minhash_lsh_candidates": (q_minhash_lsh_candidates, SQL_MINHASH_LSH_CANDIDATES),
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
     "knn_ivf": (q_knn_ivf, SQL_KNN_IVF),
@@ -4307,6 +4385,7 @@ QUERIES = {
     # --- Tier C: long-stable rows rotated past the 50-entry driver window
     #     (green in CORRECTNESS_r01-r03; still run in test_queries_oracle.py) ---
     "skip_boilerplate_filter": (q_skip_boilerplate_filter, SQL_SKIP_BOILERPLATE_FILTER),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "host_budget_gate": (q_host_budget_gate, SQL_HOST_BUDGET_GATE),
     "entity_bucket": (q_entity_bucket, SQL_ENTITY_BUCKET),

@@ -44,6 +44,7 @@ TIER_A_R4 = [
     "pq_quantize",
     "knn_pq",
     "sequence_pack",
+    "mix_resample",
 ]
 
 
