@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     "knn_pq",
     "sequence_pack",
     "mix_resample",
+    "rollup_counts",
+    "interval_join",
 ]
 
 

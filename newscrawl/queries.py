@@ -4306,6 +4306,121 @@ FROM documents d JOIN r USING (source, lang)
 """
 
 
+def q_rollup_counts(spark, sf_dir):
+    """Multi-granularity rollup (the hypertable/OLAP-cube continuous-
+    aggregate shape): event counts + value totals at (event_type, day),
+    per event_type, and grand-total levels in ONE pass — GROUP BY ROLLUP
+    computes all three from a single shuffle with partial aggregation,
+    which is how a 100 TB events table serves hour/day/total dashboards
+    without three scans.  Null group keys from the rollup are rendered
+    as 'ALL' so the output is a plain relation."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    return (
+        ev.select("event_type", day.alias("day"), "value")
+        .rollup("event_type", "day")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+SQL_ROLLUP_COUNTS = """
+WITH e AS (
+  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         value
+  FROM events
+)
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(day, 'ALL') AS day,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM e
+GROUP BY ROLLUP (event_type, day)
+"""
+
+
+INTERVAL_JOIN_BUCKET_SEC = 1800  # 30-minute buckets == the window length
+
+
+def q_interval_join(spark, sf_dir):
+    """Interval (range) join via bucketization — the scale pattern Spark
+    lacks natively: for every 'error' event, count the 'click' events
+    inside its [ts, ts+30min) incident window.  A naive theta-join is
+    O(errors x clicks); instead each interval explodes to the (<=2)
+    30-minute epoch buckets it overlaps, clicks map to their single
+    bucket, and the join becomes an EQUI-join on the bucket id with the
+    exact range predicate applied after — shuffle keyed and bounded, the
+    standard Spark range-join decomposition.  Zero-click errors are kept
+    (left join)."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    b = INTERVAL_JOIN_BUCKET_SEC
+    epoch = F.floor(F.unix_timestamp(F.col("ts"))).cast("long")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id", F.col("ts").alias("ets"), epoch.alias("es")
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("ts").alias("cts"),
+        F.floor(F.unix_timestamp(F.col("ts")) / b).cast("long").alias("bkt"),
+    )
+    eb = err.withColumn(
+        "bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("es") / b).cast("long"),
+                F.floor((F.col("es") + b) / b).cast("long"),
+            )
+        ),
+    )
+    hits = (
+        eb.join(clk, "bkt")
+        .filter(
+            (F.col("cts") >= F.col("ets"))
+            & (F.col("cts") < F.col("ets") + F.expr(f"INTERVAL {b} SECOND"))
+        )
+        .groupBy("event_id")
+        .agg(F.count("*").alias("n_clicks"))
+    )
+    return err.select("event_id").join(hits, "event_id", "left").select(
+        "event_id", F.coalesce("n_clicks", F.lit(0)).alias("n_clicks")
+    )
+
+
+SQL_INTERVAL_JOIN = f"""
+WITH err AS (
+  SELECT event_id, ts AS ets,
+         CAST(floor(epoch(ts)) AS BIGINT) AS es
+  FROM events WHERE event_type = 'error'
+), clk AS (
+  SELECT ts AS cts,
+         CAST(floor(epoch(ts) / {INTERVAL_JOIN_BUCKET_SEC}) AS BIGINT) AS bkt
+  FROM events WHERE event_type = 'click'
+), eb AS (
+  SELECT event_id, ets,
+         CAST(floor(es * 1.0 / {INTERVAL_JOIN_BUCKET_SEC}) AS BIGINT) + d.i
+           AS bkt
+  FROM err, unnest([0, 1]) AS d(i)
+), hits AS (
+  SELECT eb.event_id, count(*) AS n_clicks
+  FROM eb JOIN clk USING (bkt)
+  WHERE clk.cts >= eb.ets
+    AND clk.cts < eb.ets + INTERVAL {INTERVAL_JOIN_BUCKET_SEC} SECOND
+  GROUP BY eb.event_id
+)
+SELECT e.event_id, coalesce(h.n_clicks, 0) AS n_clicks
+FROM err e LEFT JOIN hits h ON e.event_id = h.event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4358,13 +4473,14 @@ QUERIES = {
     "knn_pq": (q_knn_pq, SQL_KNN_PQ),
     "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),
     "mix_resample": (q_mix_resample, SQL_MIX_RESAMPLE),
+    "rollup_counts": (q_rollup_counts, SQL_ROLLUP_COUNTS),
+    "interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
     # --- Tier B: stable driver-green rows kept inside the window ---
     "seen_antijoin": (q_seen_antijoin, SQL_SEEN_ANTIJOIN),
     "first_wins_dedup": (q_first_wins_dedup, SQL_FIRST_WINS_DEDUP),
     "minhash_lsh_candidates": (q_minhash_lsh_candidates, SQL_MINHASH_LSH_CANDIDATES),
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
     "knn_ivf": (q_knn_ivf, SQL_KNN_IVF),
-    "simhash": (q_simhash, SQL_SIMHASH),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "simhash_near_dup": (q_simhash_near_dup, SQL_SIMHASH_NEAR_DUP),
     "topic_classify": (q_topic_classify, SQL_TOPIC_CLASSIFY),
@@ -4380,11 +4496,12 @@ QUERIES = {
     "unigram_surprisal": (q_unigram_surprisal, SQL_UNIGRAM_SURPRISAL),
     "length_quantiles": (q_length_quantiles, SQL_LENGTH_QUANTILES),
     "chunk_dedup": (q_chunk_dedup, SQL_CHUNK_DEDUP),
-    "knn_label_majority": (q_knn_label_majority, SQL_KNN_LABEL_MAJORITY),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     # --- Tier C: long-stable rows rotated past the 50-entry driver window
     #     (green in CORRECTNESS_r01-r03; still run in test_queries_oracle.py) ---
     "skip_boilerplate_filter": (q_skip_boilerplate_filter, SQL_SKIP_BOILERPLATE_FILTER),
+    "simhash": (q_simhash, SQL_SIMHASH),
+    "knn_label_majority": (q_knn_label_majority, SQL_KNN_LABEL_MAJORITY),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "host_budget_gate": (q_host_budget_gate, SQL_HOST_BUDGET_GATE),

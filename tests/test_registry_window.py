@@ -45,6 +45,8 @@ TIER_A_R4 = [
     "knn_pq",
     "sequence_pack",
     "mix_resample",
+    "rollup_counts",
+    "interval_join",
 ]
 
 
