@@ -142,3 +142,68 @@ def test_bucketed_wave_equals_broadcast_wave(spark, tmp_path):
     # (the zero-Exchange plan shape of the co-located join itself is
     # asserted by test_bucketed_fetch_join_has_no_exchange above)
     spark.sql("DROP TABLE IF EXISTS t_pages_bucketed")
+
+
+def test_interval_join_is_equi_join_not_theta(spark):
+    """The bucketized range join must plan as a hash/sort-merge EQUI
+    join — never a nested-loop/cartesian theta join."""
+    from newscrawl.queries import q_interval_join
+
+    plan = _plan(q_interval_join(spark, "/root/testdata/sf0.01"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scan_side_kernels_have_no_exchange(spark):
+    """Zero-shuffle operators: the whole plan rides the scan."""
+    from newscrawl.queries import q_doc_fingerprint, q_quality_prune_pipeline
+
+    for q in (q_doc_fingerprint, q_quality_prune_pipeline):
+        plan = _plan(q(spark, "/root/testdata/sf0.01"))
+        # RoundRobin repartition (_spread) is allowed: it widens a
+        # single-file scan; hash/range exchanges would mean a shuffle
+        import re
+
+        hash_exchanges = re.findall(r"Exchange (hash|range)partitioning", plan)
+        assert not hash_exchanges, (q.__name__, hash_exchanges)
+
+
+def test_sequence_pack_single_partitioned_window(spark):
+    """Packing must be a PARTITIONED window (per-lang), never a global
+    single-partition sort."""
+    from newscrawl.queries import q_sequence_pack
+
+    plan = _plan(q_sequence_pack(spark, "/root/testdata/sf0.01"))
+    assert "Exchange hashpartitioning(lang" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_rollup_single_shuffle(spark):
+    """GROUP BY ROLLUP computes all three aggregation levels from one
+    Expand + one aggregation exchange — not three scans."""
+    from newscrawl.queries import q_rollup_counts
+
+    plan = _plan(q_rollup_counts(spark, "/root/testdata/sf0.01"))
+    assert "Expand" in plan
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_dedup_gate_probe_broadcasts_new_side(spark, tmp_path):
+    """The near-dup index probe must broadcast the (bounded) new wave's
+    bands so the historical index side streams without shuffling."""
+    from newscrawl import dedupgate
+    from pyspark.sql import functions as F
+
+    prior = spark.createDataFrame(
+        [(f"https://h/{i}", i % 4, f"k{i}", "w0000") for i in range(100)],
+        "url string, band int, key string, wave_id string",
+    )
+    new = spark.createDataFrame(
+        [("https://h/new1", "alpha beta gamma delta " * 16, "a"),
+         ("https://h/new2", "epsilon zeta eta theta " * 16, "b")],
+        "url string, text string, sort_key string",
+    )
+    flags, _kept, cached = dedupgate.wave_flags(new, prior)
+    plan = _plan(flags)
+    assert "BroadcastHashJoin" in plan
+    cached.unpersist()
