@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "mix_resample",
     "rollup_counts",
     "interval_join",
+    "bpe_train",
 ]
 
 

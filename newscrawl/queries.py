@@ -4421,6 +4421,158 @@ FROM err e LEFT JOIN hits h ON e.event_id = h.event_id
 """
 
 
+N_BPE_MERGES = 6
+
+
+def _bpe_words(spark, sf_dir):
+    """(tok, freq): the corpus as a DISTINCT-word frequency table with
+    each word exploded to space-separated characters, space-padded —
+    the classic BPE working set (state is vocabulary-cardinality, not
+    corpus-cardinality, so iterations touch a tiny frame no matter how
+    big the corpus is)."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    words = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                    lambda t: t != "",
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    # per-char split via sequence + substr (portable to the DuckDB oracle)
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    return words.select(
+        F.concat(F.lit(" "), F.concat_ws(" ", chars), F.lit(" ")).alias("tok"),
+        "freq",
+    )
+
+
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer training: N_BPE_MERGES iterations of
+    (count adjacent symbol pairs across the weighted vocabulary) ->
+    (merge the most frequent pair, count-desc pair-asc tie-break) ->
+    (re-tokenize by non-overlapping left-to-right replacement — exactly
+    the semantics of string replace on the space-separated form).
+    Output: one row per merge step (step, pair, frequency) — the merge
+    table IS the trained tokenizer.
+
+    Scale shape: each iteration is one explode + one hash agg over the
+    DISTINCT-word table (vocabulary cardinality); the only driver sync
+    is the single winning pair per iteration.  The DuckDB oracle unrolls
+    the same iterations as CTEs."""
+    vocab = _bpe_words(spark, sf_dir).persist()
+    merges = []
+    cur = vocab
+    for step in range(N_BPE_MERGES):
+        syms = F.split(F.trim(F.col("tok")), " ")
+        pairs = cur.select(
+            "freq",
+            F.explode(
+                F.when(
+                    F.size(syms) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(syms) - 2),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at(syms, i + 1),
+                            F.element_at(syms, i + 2),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("pair"),
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "pair")
+            .head()
+        )
+        merges.append((step, top["pair"], int(top["cnt"])))
+        merged = top["pair"].replace(" ", "")
+        # literal (non-regex) replace via the SQL replace() function —
+        # merged symbols may contain regex metacharacters
+        nxt = cur.select(
+            F.call_function(
+                "replace",
+                F.col("tok"),
+                F.lit(f" {top['pair']} "),
+                F.lit(f" {merged} "),
+            ).alias("tok"),
+            "freq",
+        ).persist()
+        nxt.count()
+        if cur is not vocab:
+            cur.unpersist()
+        cur = nxt
+    if cur is not vocab:
+        cur.unpersist()
+    vocab.unpersist()
+    return spark.createDataFrame(
+        merges, "step int, pair string, frequency long"
+    )
+
+
+def _sql_bpe_train() -> str:
+    base = """
+WITH wf AS (
+  SELECT word, count(*) AS freq
+  FROM (SELECT unnest(list_filter(
+                 string_split_regex(lower(trim(text)), '\\s+'),
+                 x -> x <> '')) AS word
+        FROM documents)
+  GROUP BY word
+), w0 AS (
+  SELECT ' ' || array_to_string(
+           list_transform(range(1, length(word) + 1),
+                          i -> word[i:i]), ' ') || ' ' AS tok,
+         freq
+  FROM wf
+)"""
+    sql = base
+    for k in range(N_BPE_MERGES):
+        sql += f""",
+p{k} AS (
+  SELECT pr.pair, sum(freq) AS cnt
+  FROM (
+    SELECT freq,
+           unnest(CASE WHEN len(string_split(trim(tok), ' ')) >= 2 THEN
+             list_transform(
+               range(0, len(string_split(trim(tok), ' ')) - 1),
+               i -> string_split(trim(tok), ' ')[i + 1] || ' ' ||
+                    string_split(trim(tok), ' ')[i + 2])
+           ELSE [] END) AS pair
+    FROM w{k}
+  ) pr
+  GROUP BY pr.pair
+), t{k} AS (
+  SELECT pair, cnt FROM p{k}
+  ORDER BY cnt DESC, pair
+  LIMIT 1
+), w{k + 1} AS (
+  SELECT replace(tok,
+                 ' ' || (SELECT pair FROM t{k}) || ' ',
+                 ' ' || replace((SELECT pair FROM t{k}), ' ', '') || ' ')
+           AS tok,
+         freq
+  FROM w{k}
+)"""
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {k} AS step, pair, CAST(cnt AS BIGINT) AS frequency FROM t{k}"
+        for k in range(N_BPE_MERGES)
+    )
+    return sql + f"\n{unions}\n"
+
+
+SQL_BPE_TRAIN = _sql_bpe_train()
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4475,10 +4627,10 @@ QUERIES = {
     "mix_resample": (q_mix_resample, SQL_MIX_RESAMPLE),
     "rollup_counts": (q_rollup_counts, SQL_ROLLUP_COUNTS),
     "interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
+    "bpe_train": (q_bpe_train, SQL_BPE_TRAIN),
     # --- Tier B: stable driver-green rows kept inside the window ---
     "seen_antijoin": (q_seen_antijoin, SQL_SEEN_ANTIJOIN),
     "first_wins_dedup": (q_first_wins_dedup, SQL_FIRST_WINS_DEDUP),
-    "minhash_lsh_candidates": (q_minhash_lsh_candidates, SQL_MINHASH_LSH_CANDIDATES),
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
     "knn_ivf": (q_knn_ivf, SQL_KNN_IVF),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
@@ -4500,6 +4652,7 @@ QUERIES = {
     # --- Tier C: long-stable rows rotated past the 50-entry driver window
     #     (green in CORRECTNESS_r01-r03; still run in test_queries_oracle.py) ---
     "skip_boilerplate_filter": (q_skip_boilerplate_filter, SQL_SKIP_BOILERPLATE_FILTER),
+    "minhash_lsh_candidates": (q_minhash_lsh_candidates, SQL_MINHASH_LSH_CANDIDATES),
     "simhash": (q_simhash, SQL_SIMHASH),
     "knn_label_majority": (q_knn_label_majority, SQL_KNN_LABEL_MAJORITY),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),

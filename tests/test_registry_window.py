@@ -47,6 +47,7 @@ TIER_A_R4 = [
     "mix_resample",
     "rollup_counts",
     "interval_join",
+    "bpe_train",
 ]
 
 
