@@ -217,3 +217,13 @@ NEAR_DUP_FLAGS = T.StructType(
         T.StructField("wave_id", T.StringType(), False),
     ]
 )
+
+# Quality sink gate audit: articles withheld from the articles table by
+# run_wave(min_quality=...), with the in-scan quality score that failed.
+QUALITY_FLAGS = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("quality", T.DoubleType(), True),
+        T.StructField("wave_id", T.StringType(), False),
+    ]
+)

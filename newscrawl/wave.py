@@ -144,9 +144,17 @@ def run_wave(
     media_sink: bool = False,
     media_max_side: int = 256,
     dedup_gate: str | None = None,
+    min_quality: float | None = None,
 ) -> dict:
     """One crawl wave. ``enrich_fn`` swaps the deterministic classify
     stand-in for real model inference (see extract.make_extract_kernel).
+
+    ``min_quality`` withholds articles whose in-scan quality score falls
+    below the threshold from the articles sink (a ``quality_flags``
+    table records them with their scores — the audit trail).  Crawl
+    semantics (seen set, frontier, outlinks) are untouched, exactly
+    like the dedup gate: these are SINK filters for the training-data
+    pipeline, not crawl-scheduling changes.
 
     ``dedup_gate`` enables the incremental near-dup gate (dedupgate.py —
     a persistent MinHash band index probed per wave): ``"flag"`` records
@@ -357,6 +365,26 @@ def run_wave(
                 )
         else:
             nd_flags = nd_kept_bands = _nd_cached = None
+
+        # quality sink gate (audit-trailed): below-threshold articles go
+        # to quality_flags instead of the articles table
+        if min_quality is not None:
+            q_flags = (
+                articles.filter(F.col("quality") < F.lit(float(min_quality)))
+                .select("url", "quality")
+                .withColumn("wave_id", F.lit(wid))
+            )
+            articles = articles.filter(
+                F.col("quality") >= F.lit(float(min_quality))
+            )
+            if nd_kept_bands is not None:
+                # the band index holds canonical SINK articles only — a
+                # quality-dropped doc must not become a dedup canonical
+                nd_kept_bands = nd_kept_bands.join(
+                    q_flags.select("url"), "url", "left_anti"
+                )
+        else:
+            q_flags = None
 
         # carry = fetch failures (anti-join side) + too-short pages +
         # budget-deferred rows; all retried next wave (reference scrapers
@@ -596,6 +624,13 @@ def run_wave(
                 if nd_flags is not None
                 else None
             )
+            f_q_flags = (
+                pool.submit(
+                    timed_write, "quality_flags", q_flags.coalesce(2), "append"
+                )
+                if q_flags is not None
+                else None
+            )
             f_nd_bands = (
                 pool.submit(
                     timed_write,
@@ -642,6 +677,8 @@ def run_wave(
                 f_nd_flags.result()
             if f_nd_bands is not None:
                 f_nd_bands.result()
+            if f_q_flags is not None:
+                f_q_flags.result()
             accel_rows = f_accel.result() if f_accel is not None else None
         if _nd_cached is not None:
             _nd_cached.unpersist()
@@ -758,6 +795,7 @@ def run_crawl(
     enrich_fn=None,
     media_sink: bool = False,
     dedup_gate: str | None = None,
+    min_quality: float | None = None,
 ) -> list[dict]:
     """Run (or resume) a crawl. Already-committed waves are skipped —
     replaying is a no-op, which is the resume/idempotence guarantee."""
@@ -787,6 +825,7 @@ def run_crawl(
                 enrich_fn=enrich_fn,
                 media_sink=media_sink,
                 dedup_gate=dedup_gate,
+                min_quality=min_quality,
             )
         )
     return out
@@ -796,6 +835,14 @@ def read_near_dup_flags(
     spark: SparkSession, catalog: ManifestParquetCatalog
 ) -> DataFrame:
     return catalog.read(spark, "near_dup_flags", NEAR_DUP_FLAGS)
+
+
+def read_quality_flags(
+    spark: SparkSession, catalog: ManifestParquetCatalog
+) -> DataFrame:
+    from .schema import QUALITY_FLAGS
+
+    return catalog.read(spark, "quality_flags", QUALITY_FLAGS)
 
 
 def read_articles(spark: SparkSession, catalog: ManifestParquetCatalog) -> DataFrame:

@@ -63,6 +63,14 @@ def main() -> None:
         "the articles sink",
     )
     ap.add_argument(
+        "--min-quality",
+        type=float,
+        default=None,
+        help="quality sink gate: articles scoring below this threshold "
+        "are recorded in quality_flags instead of the articles table "
+        "(crawl semantics untouched)",
+    )
+    ap.add_argument(
         "--robots",
         default=None,
         help="parquet dir of a robots rules table (host, disallow "
@@ -109,6 +117,7 @@ def main() -> None:
         media_sink=args.media_sink,
         robots=spark.read.parquet(args.robots) if args.robots else None,
         dedup_gate=args.dedup_gate,
+        min_quality=args.min_quality,
     )
     for m in metrics:
         print(json.dumps(m))

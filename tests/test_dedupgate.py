@@ -140,3 +140,42 @@ def test_same_wave_first_wins(spark, tmp_path, wave_urls):
     assert flags[b_url].matched_url == a_url
     urls = {r.url for r in wave.read_articles(spark, cat).collect()}
     assert a_url in urls and b_url not in urls
+
+
+def test_min_quality_sink_gate(spark, tmp_path):
+    """Quality sink gate: below-threshold articles land in
+    quality_flags, not the articles table; seen/frontier untouched;
+    and with the dedup gate also on, a quality-dropped article never
+    becomes a dedup canonical (no bands indexed for it)."""
+    from pyspark.sql import functions as F
+
+    from newscrawl.schema import MINHASH_BANDS
+
+    # baseline: find the quality distribution so the threshold splits it
+    cat0 = ManifestParquetCatalog(str(tmp_path / "q0"))
+    wave.run_crawl(spark, cat0, CFG, n_waves=2)
+    quals = sorted(
+        r.quality for r in wave.read_articles(spark, cat0).collect()
+    )
+    assert len(quals) >= 4
+    thresh = quals[len(quals) // 2]  # median -> both sides populated
+    n_total = len(quals)
+    n_below = sum(1 for q in quals if q < thresh)
+    assert 0 < n_below < n_total, "threshold must split the corpus"
+
+    cat = ManifestParquetCatalog(str(tmp_path / "q1"))
+    wave.run_crawl(
+        spark, cat, CFG, n_waves=2, min_quality=thresh, dedup_gate="drop"
+    )
+    arts = wave.read_articles(spark, cat).collect()
+    flags = wave.read_quality_flags(spark, cat).collect()
+    assert len(arts) + len(flags) == n_total
+    assert len(flags) == n_below
+    assert all(r.quality >= thresh for r in arts)
+    assert all(r.quality < thresh for r in flags)
+    # crawl semantics untouched: same seen set as the ungated run
+    assert wave.crawl_order(spark, cat) == wave.crawl_order(spark, cat0)
+    # no bands indexed for quality-dropped urls
+    bands = cat.read(spark, "minhash_bands", MINHASH_BANDS)
+    dropped = {r.url for r in flags}
+    assert bands.filter(F.col("url").isin(list(dropped))).count() == 0
