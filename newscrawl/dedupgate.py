@@ -94,9 +94,22 @@ def wave_flags(
     frame. Nothing driver-side."""
     bands_new = band_rows(new_articles).persist()
 
+    # Fanout bound (the same k^2 hazard as the PageRank chunk self-join,
+    # fixed structurally instead of by a cap): both probe arms
+    # pre-aggregate to ONE row per (band, key) before joining, which
+    # preserves the output EXACTLY —
+    #   - an article is flagged iff ANY prior/earlier sharer exists,
+    #     which is equivalent to "the key's minimal representative is
+    #     prior/earlier";
+    #   - n_band_hits counts DISTINCT matching keys, not sharers;
+    #   - matched_url is the minimal sharer, which is the key minimum.
+    # So k docs sharing one boilerplate key cost k rows, never k^2.
     if prior_bands is not None:
+        prior_keys = prior_bands.groupBy("band", "key").agg(
+            F.min("url").alias("_purl")
+        )
         hits_prior = (
-            prior_bands.join(
+            prior_keys.join(
                 F.broadcast(
                     bands_new.select(
                         F.col("url").alias("_nurl"), "band", "key"
@@ -106,8 +119,8 @@ def wave_flags(
             )
             .groupBy(F.col("_nurl").alias("url"))
             .agg(
-                F.min("url").alias("matched_url"),
-                F.count_distinct("band", "key").alias("n_band_hits"),
+                F.min("_purl").alias("matched_url"),
+                F.count("*").alias("n_band_hits"),
             )
             .withColumn("scope", F.lit("prior_wave"))
         )
@@ -116,23 +129,24 @@ def wave_flags(
 
     # same-wave: an article is flagged iff an EARLIER-sorted article of
     # this wave shares a band key (first-wins — the earliest article in
-    # crawl order is the canonical one and is never flagged by this arm)
+    # crawl order is the canonical one and is never flagged by this
+    # arm).  Per (band, key) only the MINIMAL (sort, url) representative
+    # is joined back: b shares a key with an earlier article iff the
+    # key's earliest holder sorts before b.
     order = new_articles.select("url", F.col(sort_col).alias("_sk"))
-    a = bands_new.join(order, "url").select(
-        F.col("url").alias("_aurl"), F.col("_sk").alias("_ask"), "band", "key"
-    )
-    b = bands_new.join(order, "url").select(
-        F.col("url").alias("_burl"), F.col("_sk").alias("_bsk"), "band", "key"
-    )
+    keyed = bands_new.join(order, "url")
+    key_min = keyed.groupBy("band", "key").agg(
+        F.min(F.struct(F.col("_sk").alias("_ask"), F.col("url").alias("_aurl"))).alias("_m")
+    ).select("band", "key", F.col("_m._ask").alias("_ask"), F.col("_m._aurl").alias("_aurl"))
     hits_same = (
-        a.join(b, ["band", "key"])
-        .filter(F.col("_ask") < F.col("_bsk"))
-        .groupBy(F.col("_burl").alias("url"))
+        keyed.join(key_min, ["band", "key"])
+        .filter(F.col("_ask") < F.col("_sk"))
+        .groupBy("url")
         .agg(
             F.min(F.struct("_ask", "_aurl")).getField("_aurl").alias(
                 "matched_url"
             ),
-            F.count_distinct("band", "key").alias("n_band_hits"),
+            F.count("*").alias("n_band_hits"),
         )
         .withColumn("scope", F.lit("same_wave"))
     )

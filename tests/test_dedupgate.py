@@ -179,3 +179,28 @@ def test_min_quality_sink_gate(spark, tmp_path):
     bands = cat.read(spark, "minhash_bands", MINHASH_BANDS)
     dropped = {r.url for r in flags}
     assert bands.filter(F.col("url").isin(list(dropped))).count() == 0
+
+
+def test_same_wave_many_copies_bounded_and_first_wins(spark):
+    """Hot-key shape: MANY articles sharing identical content in one
+    wave must all flag against the single earliest copy — and the
+    per-(band,key) pre-aggregation keeps the join linear in copies
+    (the k^2 pair blowup is structurally impossible)."""
+    from newscrawl import dedupgate
+
+    n = 40
+    text = "alpha beta gamma delta epsilon zeta " * 12
+    rows = [(f"https://h/c{i:03d}", text, f"sk{i:03d}") for i in range(n)]
+    rows.append(("https://h/unique", "one two three four five six " * 12, "sk999"))
+    new = spark.createDataFrame(rows, "url string, text string, sort_key string")
+    flags, kept, cached = dedupgate.wave_flags(new, None)
+    got = {r.url: r for r in flags.collect()}
+    # all but the earliest copy flagged, every one matched to copy 000
+    assert len(got) == n - 1
+    assert "https://h/c000" not in got and "https://h/unique" not in got
+    assert all(r.matched_url == "https://h/c000" for r in got.values())
+    assert all(r.scope == "same_wave" for r in got.values())
+    # kept bands = earliest copy + the unique doc only
+    kept_urls = {r.url for r in kept.select("url").distinct().collect()}
+    assert kept_urls == {"https://h/c000", "https://h/unique"}
+    cached.unpersist()
