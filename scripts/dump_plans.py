@@ -200,6 +200,32 @@ def main() -> None:
             "in the scan-side projection; one window picks argmin per "
             "(vector, subspace).",
         ),
+        (
+            "sequence_pack",
+            "Training-sequence packing as a PARTITIONED cumulative-sum "
+            "window (per language) — never a single global sort "
+            "(asserted in test_plans.py).",
+        ),
+        (
+            "rollup_counts",
+            "GROUP BY ROLLUP: one Expand node feeds one aggregation "
+            "exchange — all three aggregation levels from a single scan.",
+        ),
+        (
+            "interval_join",
+            "Range join decomposed to an EQUI-join: intervals explode to "
+            "their <=2 epoch buckets, the exact range predicate applies "
+            "post-join — no CartesianProduct / BroadcastNestedLoopJoin "
+            "anywhere (asserted).",
+        ),
+        (
+            "bpe_train",
+            "Final merge-table plan of distributed BPE training: each "
+            "iteration was one explode + hash agg over the "
+            "vocabulary-cardinality word table with a single winning "
+            "pair crossing the driver (the plan shown is the collected "
+            "merge table — bounded at N_BPE_MERGES rows).",
+        ),
     ]:
         fn, _sql = QUERIES[name]
         sections.append((f"query: {name}", note, fmt(fn(spark, SF))))
