@@ -204,3 +204,39 @@ def test_same_wave_many_copies_bounded_and_first_wins(spark):
     kept_urls = {r.url for r in kept.select("url").distinct().collect()}
     assert kept_urls == {"https://h/c000", "https://h/unique"}
     cached.unpersist()
+
+
+def test_band_spec_matches_batch_minhash(spark, tmp_path):
+    """Spec-drift guard: dedupgate.band_rows must produce EXACTLY the
+    band keys the batch operators derive via queries._minhash_signatures
+    (same shingles, same md5 permutations, same 4x2 banding) — the gate
+    and the batch dedup must agree on what a near-dup is."""
+    import pandas as pd
+
+    from newscrawl import dedupgate
+    from newscrawl.queries import N_MINHASH, _minhash_signatures
+
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "pack my box with five dozen liquor jugs for the long trip"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+    ]
+    d = tmp_path / "spec"
+    spark.createDataFrame(texts, "doc_id bigint, text string").coalesce(
+        1
+    ).write.parquet(str(d / "documents.parquet"))
+    sig = _minhash_signatures(spark, str(d)).toPandas()
+    want = set()
+    for _i, row in sig.iterrows():
+        for b in range(N_MINHASH // 2):
+            want.add(
+                (str(row["doc_id"]), b, row[f"h{2*b}"] + row[f"h{2*b+1}"])
+            )
+    docs = spark.createDataFrame(
+        [(str(i), t) for i, t in texts], "url string, text string"
+    )
+    got = {
+        (r.url, r.band, r.key)
+        for r in dedupgate.band_rows(docs).collect()
+    }
+    assert got == want
