@@ -240,3 +240,40 @@ def test_band_spec_matches_batch_minhash(spark, tmp_path):
         for r in dedupgate.band_rows(docs).collect()
     }
     assert got == want
+
+
+def test_resume_with_gates_is_byte_identical(spark, tmp_path, wave_urls):
+    """Crash-resume under the sink gates: 2 gated waves straight vs
+    1 wave + process-death + resume must produce identical articles,
+    flags, AND band index (the gate state commits atomically with the
+    wave, so resume replays nothing and loses nothing)."""
+    from newscrawl.schema import MINHASH_BANDS
+
+    _src, _dup, pages = wave_urls
+    kw = dict(pages=pages, dedup_gate="drop", min_quality=0.2)
+
+    cat_a = ManifestParquetCatalog(str(tmp_path / "straight"))
+    wave.run_crawl(spark, cat_a, CFG, n_waves=2, **kw)
+
+    cat_b = ManifestParquetCatalog(str(tmp_path / "resumed"))
+    wave.run_crawl(spark, cat_b, CFG, n_waves=1, **kw)
+    cat_b2 = ManifestParquetCatalog(str(tmp_path / "resumed"))  # "restart"
+    wave.run_crawl(spark, cat_b2, CFG, n_waves=2, **kw)
+
+    def state(c):
+        arts = sorted(
+            (r.url, r.wave_id, r.text)
+            for r in wave.read_articles(spark, c).collect()
+        )
+        flags = sorted(
+            map(tuple, wave.read_near_dup_flags(spark, c).collect())
+        )
+        qflags = sorted(
+            map(tuple, wave.read_quality_flags(spark, c).collect())
+        )
+        bands = sorted(
+            map(tuple, c.read(spark, "minhash_bands", MINHASH_BANDS).collect())
+        )
+        return arts, flags, qflags, bands
+
+    assert state(cat_a) == state(cat_b2)
