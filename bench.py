@@ -100,6 +100,8 @@ BENCH_QUERIES = [
     "rollup_counts",
     "interval_join",
     "bpe_train",
+    "bigram_lm_perplexity",
+    "corpus_prepare",
 ]
 
 

@@ -4573,6 +4573,142 @@ p{k} AS (
 SQL_BPE_TRAIN = _sql_bpe_train()
 
 
+def q_bigram_lm_perplexity(spark, sf_dir):
+    """Bigram-LM perplexity scoring (the step past unigram surprisal
+    toward CCNet's KenLM): corpus-wide bigram and unigram counts build
+    an add-one-smoothed conditional model p(w2|w1) = (c12+1)/(c1+V);
+    every document scores mean -ln p over its own bigrams.  Documents
+    with fewer than 2 tokens have no bigrams and are excluded (their
+    perplexity is undefined).  Two hash aggregations build the model;
+    scoring is one join on the bigram key — everything partitions on
+    vocabulary/bigram cardinality at any corpus size."""
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"), lambda t: t != ""
+    )
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.struct(
+                F.element_at(toks, i + 1).alias("w1"),
+                F.element_at(toks, i + 2).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = docs.select("doc_id", F.explode(bigrams).alias("b")).select(
+        "doc_id", "b.w1", "b.w2"
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = (
+        docs.select(F.explode(toks).alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+    model = c12.join(c1, "w1").crossJoin(F.broadcast(vocab)).select(
+        "w1",
+        "w2",
+        (
+            -F.log(
+                (F.col("c12") + 1)
+                / (F.col("c1") + F.col("v")).cast("double")
+            )
+        ).alias("nll"),
+    )
+    return (
+        bg.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("nll"), 4).alias("mean_nll"),
+        )
+    )
+
+
+SQL_BIGRAM_LM_PERPLEXITY = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), bg AS (
+  SELECT doc_id, toks[i + 1] AS w1, toks[i + 2] AS w2
+  FROM d, unnest(range(greatest(len(toks) - 1, 0))) AS t(i)
+), c12 AS (
+  SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, count(*) AS c1 FROM bg GROUP BY w1
+), vocab AS (
+  SELECT count(DISTINCT w) AS v
+  FROM (SELECT unnest(toks) AS w FROM d)
+), model AS (
+  SELECT c12.w1, c12.w2,
+         -ln((c12.c12 + 1) * 1.0 / (c1.c1 + vocab.v)) AS nll
+  FROM c12 JOIN c1 USING (w1), vocab
+)
+SELECT bg.doc_id, count(*) AS n_bigrams,
+       round(avg(m.nll), 4) AS mean_nll
+FROM bg JOIN model m ON bg.w1 = m.w1 AND bg.w2 = m.w2
+GROUP BY bg.doc_id
+"""
+
+
+def q_corpus_prepare(spark, sf_dir):
+    """The END-TO-END training-corpus preparation pipeline as ONE query:
+    quality-prune (every gate of q_quality_prune_pipeline) AND near-dup
+    dedup (q_minhash_dedup_keep's canonical-per-cluster keep list), then
+    pack the survivors into 512-token training sequences (the
+    q_sequence_pack spec over the SURVIVING docs only).  This is the
+    composition a user of the engine actually runs before training —
+    each stage is the already-verified operator, chained; the packing
+    window re-evaluates over the filtered set, so pack ids are dense
+    over survivors."""
+    kept_q = q_quality_prune_pipeline(spark, sf_dir).filter(
+        F.col("keep") == 1
+    ).select("doc_id", "n_tokens")
+    kept_d = q_minhash_dedup_keep(spark, sf_dir).filter(
+        F.col("kept") == 1
+    ).select("doc_id")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    survivors = docs.join(kept_q, "doc_id").join(kept_d, "doc_id")
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return survivors.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        (cum / PACK_SEQ_TOKENS).cast("long").alias("pack_id"),
+        (cum % PACK_SEQ_TOKENS).cast("long").alias("offset_in_pack"),
+    )
+
+
+SQL_CORPUS_PREPARE = f"""
+WITH kq AS (
+  SELECT doc_id, n_tokens FROM ({SQL_QUALITY_PRUNE_PIPELINE}) x
+  WHERE keep = 1
+), kd AS (
+  SELECT doc_id FROM ({SQL_MINHASH_DEDUP_KEEP}) y WHERE kept = 1
+), surv AS (
+  SELECT d.doc_id, d.lang, kq.n_tokens
+  FROM documents d JOIN kq USING (doc_id) JOIN kd USING (doc_id)
+), c AS (
+  SELECT doc_id, lang, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM surv
+)
+SELECT doc_id, lang, n_tokens,
+       CAST(cum // {PACK_SEQ_TOKENS} AS BIGINT) AS pack_id,
+       CAST(cum % {PACK_SEQ_TOKENS} AS BIGINT) AS offset_in_pack
+FROM c
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4628,16 +4764,16 @@ QUERIES = {
     "rollup_counts": (q_rollup_counts, SQL_ROLLUP_COUNTS),
     "interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
     "bpe_train": (q_bpe_train, SQL_BPE_TRAIN),
+    "bigram_lm_perplexity": (q_bigram_lm_perplexity, SQL_BIGRAM_LM_PERPLEXITY),
+    "corpus_prepare": (q_corpus_prepare, SQL_CORPUS_PREPARE),
     # --- Tier B: stable driver-green rows kept inside the window ---
     "seen_antijoin": (q_seen_antijoin, SQL_SEEN_ANTIJOIN),
     "first_wins_dedup": (q_first_wins_dedup, SQL_FIRST_WINS_DEDUP),
-    "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
     "knn_ivf": (q_knn_ivf, SQL_KNN_IVF),
     "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
     "simhash_near_dup": (q_simhash_near_dup, SQL_SIMHASH_NEAR_DUP),
     "topic_classify": (q_topic_classify, SQL_TOPIC_CLASSIFY),
     "topic_distribution": (q_topic_distribution, SQL_TOPIC_DISTRIBUTION),
-    "sentiment_distribution": (q_sentiment_distribution, SQL_SENTIMENT_DISTRIBUTION),
     "summary_gate": (q_summary_gate, SQL_SUMMARY_GATE),
     "article_entities": (q_article_entities, SQL_ARTICLE_ENTITIES),
     "kmeans_step": (q_kmeans_step, SQL_KMEANS_STEP),
@@ -4652,6 +4788,8 @@ QUERIES = {
     # --- Tier C: long-stable rows rotated past the 50-entry driver window
     #     (green in CORRECTNESS_r01-r03; still run in test_queries_oracle.py) ---
     "skip_boilerplate_filter": (q_skip_boilerplate_filter, SQL_SKIP_BOILERPLATE_FILTER),
+    "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
+    "sentiment_distribution": (q_sentiment_distribution, SQL_SENTIMENT_DISTRIBUTION),
     "minhash_lsh_candidates": (q_minhash_lsh_candidates, SQL_MINHASH_LSH_CANDIDATES),
     "simhash": (q_simhash, SQL_SIMHASH),
     "knn_label_majority": (q_knn_label_majority, SQL_KNN_LABEL_MAJORITY),

@@ -48,6 +48,8 @@ TIER_A_R4 = [
     "rollup_counts",
     "interval_join",
     "bpe_train",
+    "bigram_lm_perplexity",
+    "corpus_prepare",
 ]
 
 
