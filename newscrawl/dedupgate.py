@@ -10,11 +10,13 @@ accreting LSH index — this module implements it over the wave catalog:
   minhashes over word 3-gram shingles, banded 4x2 — identical parameters
   and hash construction to the batch operators, so the two agree) to the
   ``minhash_bands`` table, committed atomically with the wave;
-- the next wave probes the table with ONE equi-join on (band, key).  The
-  new side (one wave's articles) is broadcast, so the historical index —
-  the 10^10-row side at web scale — streams through the join and never
-  shuffles.  Within the wave, first-wins by the crawl sort key (the same
-  tie-break as the engine's exact first-wins dedup);
+- the next wave probes the table with a broadcast semi-filter FIRST and
+  aggregates SECOND: the historical index — the 10^10-row side at web
+  scale — streams map-side through a BroadcastHashJoin against the
+  wave's distinct (band, key) set and never shuffles; only the matched
+  rows (bounded by wave keys x their sharers) are then aggregated to one
+  representative per key.  Within the wave, first-wins by the crawl sort
+  key (the same tie-break as the engine's exact first-wins dedup);
 - ``flag`` mode records decisions in ``near_dup_flags``; ``drop`` mode
   additionally withholds flagged articles from the articles sink (their
   bands are NOT indexed — the index holds canonical documents only).
@@ -89,23 +91,38 @@ def wave_flags(
       what the caller appends to the index.
 
     Plan shape at scale: bands_new is one wave (bounded) and broadcasts;
-    the prior index streams through a BroadcastHashJoin probe without
-    shuffling. The same-wave check is a self-join of the broadcast-sized
-    frame. Nothing driver-side."""
+    the prior index streams map-side through a BroadcastHashJoin
+    semi-filter — no Exchange, no aggregation touches the unmatched
+    history — and only the matched rows are shuffled/aggregated. The
+    same-wave check is a self-join of the broadcast-sized frame.
+    Nothing driver-side."""
     bands_new = band_rows(new_articles).persist()
 
     # Fanout bound (the same k^2 hazard as the PageRank chunk self-join,
     # fixed structurally instead of by a cap): both probe arms
-    # pre-aggregate to ONE row per (band, key) before joining, which
-    # preserves the output EXACTLY —
+    # pre-aggregate to ONE row per (band, key) before the probe join,
+    # which preserves the output EXACTLY —
     #   - an article is flagged iff ANY prior/earlier sharer exists,
     #     which is equivalent to "the key's minimal representative is
     #     prior/earlier";
     #   - n_band_hits counts DISTINCT matching keys, not sharers;
     #   - matched_url is the minimal sharer, which is the key minimum.
     # So k docs sharing one boilerplate key cost k rows, never k^2.
+    #
+    # ORDER MATTERS at scale: semi-filter FIRST, aggregate SECOND.  The
+    # BroadcastHashJoin against the wave's distinct keys runs map-side
+    # over the accreting index (no shuffle of the 10^10-row side); the
+    # groupBy then only sees the matched rows, bounded by the wave's
+    # keys x their sharers.  Aggregating before filtering (the r4 shape)
+    # would hash-shuffle the ENTIRE history every wave.  Output is
+    # identical either way: min over all prior holders of a shared key
+    # == min over the sharers of that key.
     if prior_bands is not None:
-        prior_keys = prior_bands.groupBy("band", "key").agg(
+        new_keys = bands_new.select("band", "key").distinct()
+        matched_prior = prior_bands.select("url", "band", "key").join(
+            F.broadcast(new_keys), ["band", "key"]
+        )
+        prior_keys = matched_prior.groupBy("band", "key").agg(
             F.min("url").alias("_purl")
         )
         hits_prior = (
@@ -138,9 +155,16 @@ def wave_flags(
     key_min = keyed.groupBy("band", "key").agg(
         F.min(F.struct(F.col("_sk").alias("_ask"), F.col("url").alias("_aurl"))).alias("_m")
     ).select("band", "key", F.col("_m._ask").alias("_ask"), F.col("_m._aurl").alias("_aurl"))
+    # strict ordering on the FULL (sort_key, url) tuple — two near-dups
+    # sharing an identical sort_key must still flag the later url (the
+    # representative is chosen by the same tuple order, so a bare
+    # _ask < _sk comparison would let both survive)
     hits_same = (
         keyed.join(key_min, ["band", "key"])
-        .filter(F.col("_ask") < F.col("_sk"))
+        .filter(
+            F.struct(F.col("_ask"), F.col("_aurl"))
+            < F.struct(F.col("_sk").alias("_ask"), F.col("url").alias("_aurl"))
+        )
         .groupBy("url")
         .agg(
             F.min(F.struct("_ask", "_aurl")).getField("_aurl").alias(

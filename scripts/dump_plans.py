@@ -230,6 +230,49 @@ def main() -> None:
         fn, _sql = QUERIES[name]
         sections.append((f"query: {name}", note, fmt(fn(spark, SF))))
 
+    # engine path: the incremental near-dup gate probe. Prior index from
+    # parquet (its real storage form) so the plan shows the streaming
+    # scan; new wave is one wave's articles (broadcast-sized).
+    import tempfile
+
+    from newscrawl import dedupgate
+
+    with tempfile.TemporaryDirectory() as td:
+        prior_dir = f"{td}/minhash_bands"
+        spark.createDataFrame(
+            [(f"https://h/{i}", i % 4, f"k{i}", "w0000") for i in range(64)],
+            "url string, band int, key string, wave_id string",
+        ).write.parquet(prior_dir)
+        prior = spark.read.parquet(prior_dir)
+        new = spark.createDataFrame(
+            [
+                ("https://h/n1", "alpha beta gamma delta " * 16, "a"),
+                ("https://h/n2", "epsilon zeta eta theta " * 16, "b"),
+            ],
+            "url string, text string, sort_key string",
+        )
+        flags, _kept, cached = dedupgate.wave_flags(new, prior)
+        sections.append(
+            (
+                "engine path: incremental near-dup gate probe "
+                "(semi-filter first, aggregate second)",
+                "The persistent minhash_bands index (the FileScan below — "
+                "the 10^10-row side at web scale) feeds the "
+                "BroadcastHashJoin against the wave's distinct band keys "
+                "DIRECTLY: no Exchange, no HashAggregate touches unmatched "
+                "history. Only the matched rows (bounded by wave keys x "
+                "sharers) are aggregated to one representative per key "
+                "before the flag join. Output-identical to aggregating "
+                "first (min over prior holders of a shared key == min "
+                "over its sharers), but the history-side shuffle is gone — "
+                "asserted in test_plans.py::"
+                "test_dedup_gate_probe_broadcasts_new_side via an "
+                "ancestor walk from the prior scan to the probe join.",
+                fmt(flags),
+            )
+        )
+        cached.unpersist()
+
     # static analysis sections (no plan dump needed — narrative + tables
     # maintained here so regeneration preserves them)
     sections.append(

@@ -206,6 +206,27 @@ def test_same_wave_many_copies_bounded_and_first_wins(spark):
     cached.unpersist()
 
 
+def test_same_wave_identical_sort_key_still_first_wins(spark):
+    """Two near-dups sharing an IDENTICAL sort_key must still resolve
+    to one canonical (url breaks the tie) — a strict sort-key-only
+    comparison would let both survive and both pollute the band index."""
+    from newscrawl import dedupgate
+
+    text = "alpha beta gamma delta epsilon zeta " * 12
+    new = spark.createDataFrame(
+        [("https://h/b", text, "sk000"), ("https://h/a", text, "sk000")],
+        "url string, text string, sort_key string",
+    )
+    flags, kept, cached = dedupgate.wave_flags(new, None)
+    got = {r.url: r for r in flags.collect()}
+    # url tie-break: /a is canonical, /b flagged against it
+    assert set(got) == {"https://h/b"}
+    assert got["https://h/b"].matched_url == "https://h/a"
+    kept_urls = {r.url for r in kept.select("url").distinct().collect()}
+    assert kept_urls == {"https://h/a"}
+    cached.unpersist()
+
+
 def test_band_spec_matches_batch_minhash(spark, tmp_path):
     """Spec-drift guard: dedupgate.band_rows must produce EXACTLY the
     band keys the batch operators derive via queries._minhash_signatures

@@ -188,16 +188,49 @@ def test_rollup_single_shuffle(spark):
     assert plan.count("FileScan parquet") == 1
 
 
+def _ancestors_to_first_join(plan: str, leaf_marker: str) -> list[str]:
+    """Node names on the path from the (unique) leaf matching
+    ``leaf_marker`` UP to (and excluding) the nearest ancestor join, in
+    the indented executedPlan tree.  A line is an ancestor iff its node
+    name starts at a strictly smaller column than the current node's."""
+    lines = plan.splitlines()
+
+    def depth(line: str) -> int:
+        i = 0
+        while i < len(line) and line[i] in " :+-*(0123456789)":
+            i += 1
+        return i
+
+    leaf_idx = [i for i, l in enumerate(lines) if leaf_marker in l]
+    assert len(leaf_idx) == 1, f"expected one {leaf_marker!r} leaf:\n{plan}"
+    cur = depth(lines[leaf_idx[0]])
+    out: list[str] = []
+    for i in range(leaf_idx[0] - 1, -1, -1):
+        d = depth(lines[i])
+        if d < cur:
+            cur = d
+            name = lines[i].strip(" :+-*")
+            if "Join" in name:
+                return out
+            out.append(name)
+    return out
+
+
 def test_dedup_gate_probe_broadcasts_new_side(spark, tmp_path):
     """The near-dup index probe must broadcast the (bounded) new wave's
-    bands so the historical index side streams without shuffling."""
+    bands so the historical index side streams without shuffling — the
+    prior scan must feed the BroadcastHashJoin DIRECTLY, with no
+    Exchange or HashAggregate between (a full-history aggregation
+    upstream of the probe is the exact 100-TB hazard this gate exists
+    to avoid; regression shipped once in r4)."""
     from newscrawl import dedupgate
-    from pyspark.sql import functions as F
 
-    prior = spark.createDataFrame(
+    prior_dir = str(tmp_path / "prior_bands")
+    spark.createDataFrame(
         [(f"https://h/{i}", i % 4, f"k{i}", "w0000") for i in range(100)],
         "url string, band int, key string, wave_id string",
-    )
+    ).write.parquet(prior_dir)
+    prior = spark.read.parquet(prior_dir)
     new = spark.createDataFrame(
         [("https://h/new1", "alpha beta gamma delta " * 16, "a"),
          ("https://h/new2", "epsilon zeta eta theta " * 16, "b")],
@@ -206,4 +239,10 @@ def test_dedup_gate_probe_broadcasts_new_side(spark, tmp_path):
     flags, _kept, cached = dedupgate.wave_flags(new, prior)
     plan = _plan(flags)
     assert "BroadcastHashJoin" in plan
+    # the ONLY FileScan in this plan is the prior index; its path to the
+    # probe join must be shuffle- and aggregation-free
+    path = _ancestors_to_first_join(plan, "FileScan parquet")
+    assert not any(
+        "Exchange" in n or "HashAggregate" in n for n in path
+    ), f"prior side shuffles/aggregates before the probe join: {path}\n{plan}"
     cached.unpersist()
