@@ -184,3 +184,59 @@ def run_oracle(cfg: synth.SynthConfig, n_waves: int | None = None) -> OracleResu
 
     res.final_frontier = frontier
     return res
+
+
+# --- golden driver-oracle fixture for the end-to-end engine row ---------
+
+# the comparator-friendly serialization __spark_entry__._crawl_wave_articles
+# applies to the engine output: entity arrays |-joined, warc_ts rendered
+# as a wall-clock string (TZ-proof: synth timestamps are naive and
+# round-trip through one session)
+GOLDEN_ARTICLE_COLUMNS = (
+    "url title text clean_text source wave_id warc_ts n_chars n_tokens "
+    "stop_ratio lang_pred quality fingerprint summary topic "
+    "sentiment_label sentiment_score locations organizations persons "
+    "sample is_cleaned"
+).split()
+
+
+def golden_wave_articles_table(cfg: synth.SynthConfig):
+    """The articles table of a full oracle crawl as a pyarrow Table in
+    the driver-comparator serialization — the DuckDB side of the
+    ``crawl_wave_articles`` correctness row.  Written to
+    tests/golden/crawl_wave_articles.parquet by scripts/make_golden.py;
+    tests/test_entry.py asserts the committed fixture matches a fresh
+    regeneration, so synth/extract changes cannot silently stale it."""
+    import pyarrow as pa
+
+    res = run_oracle(cfg)
+    rows = []
+    for w in res.waves:
+        for a in w.articles:
+            r = dict(a)
+            r["warc_ts"] = a["warc_ts"].strftime("%Y-%m-%d %H:%M:%S")
+            for c in ("locations", "organizations", "persons"):
+                r[c] = "|".join(a[c])
+            rows.append(tuple(r[c] for c in GOLDEN_ARTICLE_COLUMNS))
+    rows.sort(key=lambda t: (t[5], t[0]))  # wave_id, url
+    schema = pa.schema(
+        [
+            pa.field(c, t)
+            for c, t in zip(
+                GOLDEN_ARTICLE_COLUMNS,
+                [
+                    pa.string(), pa.string(), pa.string(), pa.string(),
+                    pa.string(), pa.string(), pa.string(),
+                    pa.int64(), pa.int64(), pa.float64(), pa.string(),
+                    pa.float64(), pa.string(), pa.string(), pa.string(),
+                    pa.string(), pa.float64(), pa.string(), pa.string(),
+                    pa.string(), pa.string(), pa.bool_(),
+                ],
+            )
+        ]
+    )
+    cols = list(zip(*rows)) if rows else [[] for _ in GOLDEN_ARTICLE_COLUMNS]
+    return pa.table(
+        {c: pa.array(v, schema.field(c).type) for c, v in zip(GOLDEN_ARTICLE_COLUMNS, cols)},
+        schema=schema,
+    )

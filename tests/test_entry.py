@@ -16,9 +16,10 @@ def test_entry_smoke(spark):
 def test_query_registry_consistent():
     qs = e.queries()
     oracles = e.oracle_sql()
-    assert set(oracles) <= set(qs)
-    # every query except the engine-level one has a SQL oracle
-    assert set(qs) - set(oracles) == {"crawl_wave_articles"}
+    # EVERY registered query has a DuckDB oracle (crawl_wave_articles
+    # via the committed golden fixture)
+    assert set(oracles) == set(qs)
+    assert "read_parquet" in oracles["crawl_wave_articles"]
     assert len(qs) >= 20
 
 
@@ -30,3 +31,27 @@ def test_crawl_wave_articles_runs(spark):
     # deterministic across invocations (fresh catalog each time)
     rows2 = e.queries()["crawl_wave_articles"](spark, "/root/testdata/sf0.01").collect()
     assert [(r.url, r.text) for r in rows] == [(r.url, r.text) for r in rows2]
+
+
+def test_golden_fixture_fresh_and_matches_driver_query(spark):
+    """The committed crawl_wave_articles fixture must equal a fresh
+    reference-oracle regeneration (staleness guard for synth/extract
+    changes) AND the Spark engine output row-for-row in the driver's
+    comparator serialization."""
+    import pyarrow.parquet as pq
+
+    from newscrawl import reference_oracle as ro, synth
+
+    committed = pq.read_table("tests/golden/crawl_wave_articles.parquet")
+    fresh = ro.golden_wave_articles_table(
+        synth.SynthConfig(n_seed=2, n_total=12, n_waves=2)
+    )
+    assert committed.equals(fresh), "run scripts/make_golden.py and commit"
+
+    got = e.queries()["crawl_wave_articles"](spark, "unused").toPandas()
+    want = committed.to_pandas()
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    for c in got.columns:
+        a, b = list(got[c]), list(want[c])
+        assert a == b, f"column {c} diverges: {a[:3]} vs {b[:3]}"
