@@ -4725,68 +4725,10 @@ FROM c
 # so at most 49 entries here land in the window — test_registry_window.py
 # asserts every Tier-A name is inside it.
 QUERIES = {
-    # --- Tier A: driver-unverified as of r03 (VERDICT.md "What's wrong" #1) ---
-    "knn_recall": (q_knn_recall, SQL_KNN_RECALL),
-    "near_dup_clusters": (q_near_dup_clusters, SQL_NEAR_DUP_CLUSTERS),
-    "windowed_counts": (q_windowed_counts, SQL_WINDOWED_COUNTS),
-    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
-    "minhash_jaccard_est": (q_minhash_jaccard_est, SQL_MINHASH_JACCARD_EST),
-    "pagerank_sources": (q_pagerank_sources, SQL_PAGERANK_SOURCES),
-    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
-    # same oracle: the eval-table form selects the identical seeded slice,
-    # just read back from a written parquet instead of filtered inline
-    "decontaminate_table": (q_decontaminate_table, SQL_DECONTAMINATE),
-    "repetition_filter": (q_repetition_filter, SQL_REPETITION_FILTER),
-    "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
-    "knn_quantized": (q_knn_quantized, SQL_KNN_QUANTIZED),
-    "knn_ivf_multiprobe": (q_knn_ivf_multiprobe, SQL_KNN_IVF_MULTIPROBE),
-    "knn_recall_multiprobe": (q_knn_recall_multiprobe, SQL_KNN_RECALL_MULTIPROBE),
-    # --- Tier A (round 4): new operators, unverified until r04 runs ---
-    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
-    "minhash_dedup_keep": (q_minhash_dedup_keep, SQL_MINHASH_DEDUP_KEEP),
-    "quality_prune_pipeline": (
-        q_quality_prune_pipeline,
-        SQL_QUALITY_PRUNE_PIPELINE,
-    ),
-    "domain_diversity": (q_domain_diversity, SQL_DOMAIN_DIVERSITY),
-    "ccnet_perplexity_buckets": (
-        q_ccnet_perplexity_buckets,
-        SQL_CCNET_PERPLEXITY_BUCKETS,
-    ),
-    "exact_subseq_dedup": (q_exact_subseq_dedup, SQL_EXACT_SUBSEQ_DEDUP),
-    "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
-    "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),
-    "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
-    "pq_quantize": (q_pq_quantize, SQL_PQ_QUANTIZE),
-    "knn_pq": (q_knn_pq, SQL_KNN_PQ),
-    "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),
-    "mix_resample": (q_mix_resample, SQL_MIX_RESAMPLE),
-    "rollup_counts": (q_rollup_counts, SQL_ROLLUP_COUNTS),
-    "interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
-    "bpe_train": (q_bpe_train, SQL_BPE_TRAIN),
-    "bigram_lm_perplexity": (q_bigram_lm_perplexity, SQL_BIGRAM_LM_PERPLEXITY),
-    "corpus_prepare": (q_corpus_prepare, SQL_CORPUS_PREPARE),
-    # --- Tier B: stable driver-green rows kept inside the window ---
-    "seen_antijoin": (q_seen_antijoin, SQL_SEEN_ANTIJOIN),
-    "first_wins_dedup": (q_first_wins_dedup, SQL_FIRST_WINS_DEDUP),
-    "knn_ivf": (q_knn_ivf, SQL_KNN_IVF),
-    "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
-    "simhash_near_dup": (q_simhash_near_dup, SQL_SIMHASH_NEAR_DUP),
-    "topic_classify": (q_topic_classify, SQL_TOPIC_CLASSIFY),
-    "topic_distribution": (q_topic_distribution, SQL_TOPIC_DISTRIBUTION),
-    "summary_gate": (q_summary_gate, SQL_SUMMARY_GATE),
-    "article_entities": (q_article_entities, SQL_ARTICLE_ENTITIES),
-    "kmeans_step": (q_kmeans_step, SQL_KMEANS_STEP),
-    "kmeans_train": (q_kmeans_train, SQL_KMEANS_TRAIN),
-    "knn_ivf_trained": (q_knn_ivf_trained, SQL_KNN_IVF_TRAINED),
-    "knn_recall_trained": (q_knn_recall_trained, SQL_KNN_RECALL_TRAINED),
-    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
-    "unigram_surprisal": (q_unigram_surprisal, SQL_UNIGRAM_SURPRISAL),
-    "length_quantiles": (q_length_quantiles, SQL_LENGTH_QUANTILES),
-    "chunk_dedup": (q_chunk_dedup, SQL_CHUNK_DEDUP),
-    "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
-    # --- Tier C: long-stable rows rotated past the 50-entry driver window
-    #     (green in CORRECTNESS_r01-r03; still run in test_queries_oracle.py) ---
+    # --- Tier A (round 5): new operators registered this round, inside
+    #     the driver window until their first green row ---
+    # --- Tier B (round 5): rows whose last green driver row was r01-r03
+    #     (rotated past the window in r04), brought back for freshness ---
     "skip_boilerplate_filter": (q_skip_boilerplate_filter, SQL_SKIP_BOILERPLATE_FILTER),
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
     "sentiment_distribution": (q_sentiment_distribution, SQL_SENTIMENT_DISTRIBUTION),
@@ -4819,4 +4761,62 @@ QUERIES = {
     "sample_id_validation": (q_sample_id_validation, SQL_SAMPLE_ID_VALIDATION),
     "binary_metadata": (q_binary_metadata, SQL_BINARY_METADATA),
     "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
+    # --- Tier C (round 5): r04-green rows rotated past the 50-entry
+    #     driver window; still verified every CI run by
+    #     test_queries_oracle.py (the identical DuckDB comparison) ---
+    "knn_recall": (q_knn_recall, SQL_KNN_RECALL),
+    "near_dup_clusters": (q_near_dup_clusters, SQL_NEAR_DUP_CLUSTERS),
+    "windowed_counts": (q_windowed_counts, SQL_WINDOWED_COUNTS),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "minhash_jaccard_est": (q_minhash_jaccard_est, SQL_MINHASH_JACCARD_EST),
+    "pagerank_sources": (q_pagerank_sources, SQL_PAGERANK_SOURCES),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "decontaminate_table": (q_decontaminate_table, SQL_DECONTAMINATE),
+    "repetition_filter": (q_repetition_filter, SQL_REPETITION_FILTER),
+    "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
+    "knn_quantized": (q_knn_quantized, SQL_KNN_QUANTIZED),
+    "knn_ivf_multiprobe": (q_knn_ivf_multiprobe, SQL_KNN_IVF_MULTIPROBE),
+    "knn_recall_multiprobe": (q_knn_recall_multiprobe, SQL_KNN_RECALL_MULTIPROBE),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "minhash_dedup_keep": (q_minhash_dedup_keep, SQL_MINHASH_DEDUP_KEEP),
+    "quality_prune_pipeline": (
+        q_quality_prune_pipeline,
+        SQL_QUALITY_PRUNE_PIPELINE,
+    ),
+    "domain_diversity": (q_domain_diversity, SQL_DOMAIN_DIVERSITY),
+    "ccnet_perplexity_buckets": (
+        q_ccnet_perplexity_buckets,
+        SQL_CCNET_PERPLEXITY_BUCKETS,
+    ),
+    "exact_subseq_dedup": (q_exact_subseq_dedup, SQL_EXACT_SUBSEQ_DEDUP),
+    "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
+    "dsir_importance": (q_dsir_importance, SQL_DSIR_IMPORTANCE),
+    "zipf_fit": (q_zipf_fit, SQL_ZIPF_FIT),
+    "pq_quantize": (q_pq_quantize, SQL_PQ_QUANTIZE),
+    "knn_pq": (q_knn_pq, SQL_KNN_PQ),
+    "sequence_pack": (q_sequence_pack, SQL_SEQUENCE_PACK),
+    "mix_resample": (q_mix_resample, SQL_MIX_RESAMPLE),
+    "rollup_counts": (q_rollup_counts, SQL_ROLLUP_COUNTS),
+    "interval_join": (q_interval_join, SQL_INTERVAL_JOIN),
+    "bpe_train": (q_bpe_train, SQL_BPE_TRAIN),
+    "bigram_lm_perplexity": (q_bigram_lm_perplexity, SQL_BIGRAM_LM_PERPLEXITY),
+    "corpus_prepare": (q_corpus_prepare, SQL_CORPUS_PREPARE),
+    "seen_antijoin": (q_seen_antijoin, SQL_SEEN_ANTIJOIN),
+    "first_wins_dedup": (q_first_wins_dedup, SQL_FIRST_WINS_DEDUP),
+    "knn_ivf": (q_knn_ivf, SQL_KNN_IVF),
+    "embedding_near_dup": (q_embedding_near_dup, SQL_EMBEDDING_NEAR_DUP),
+    "simhash_near_dup": (q_simhash_near_dup, SQL_SIMHASH_NEAR_DUP),
+    "topic_classify": (q_topic_classify, SQL_TOPIC_CLASSIFY),
+    "topic_distribution": (q_topic_distribution, SQL_TOPIC_DISTRIBUTION),
+    "summary_gate": (q_summary_gate, SQL_SUMMARY_GATE),
+    "article_entities": (q_article_entities, SQL_ARTICLE_ENTITIES),
+    "kmeans_step": (q_kmeans_step, SQL_KMEANS_STEP),
+    "kmeans_train": (q_kmeans_train, SQL_KMEANS_TRAIN),
+    "knn_ivf_trained": (q_knn_ivf_trained, SQL_KNN_IVF_TRAINED),
+    "knn_recall_trained": (q_knn_recall_trained, SQL_KNN_RECALL_TRAINED),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+    "unigram_surprisal": (q_unigram_surprisal, SQL_UNIGRAM_SURPRISAL),
+    "length_quantiles": (q_length_quantiles, SQL_LENGTH_QUANTILES),
+    "chunk_dedup": (q_chunk_dedup, SQL_CHUNK_DEDUP),
+    "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
 }
