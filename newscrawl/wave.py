@@ -400,6 +400,13 @@ def run_wave(
         # parallel jobs below all read from memory
         n_extracted = extracted.count()
         tick("extract(materialize)")
+        if _nd_cached is not None:
+            # materialize the wave's band frame ONCE before the parallel
+            # write pool: near_dup_flags and minhash_bands both derive
+            # from it, and two concurrent jobs racing an unfilled cache
+            # each recompute the (md5-heavy) band kernel
+            _nd_cached.count()
+            tick("dedup_gate(bands materialize)")
 
         # metrics (A1-A3 analogs) in ONE aggregation job over the persisted
         # wave output: per-source yielded counts (count-desc, first-seen
