@@ -573,7 +573,15 @@ WHERE inter / (na + nb - inter) >= {JACCARD_THRESHOLD}
 """
 
 
-def _minhash_signatures(spark, sf_dir):
+# Signature frames are expensive (the md5 kernel) and shared by every
+# minhash-family query AND both sides of the LSH self-join — cache ONE
+# persisted frame per (session, sf_dir), the same sharing pattern as
+# _KMEANS_CACHE.  Callers that bring their own docs frame manage their
+# own persistence.
+_SIG_CACHE: dict[tuple[int, str], object] = {}
+
+
+def _minhash_signatures(spark, sf_dir, docs=None):
     """(doc_id, h0..h7) MinHash signatures: the 8 permutations are the
     four 8-hex-char (32-bit) slices of TWO md5 evaluations per shingle —
     h_i = min over word-3-gram shingles of
@@ -624,17 +632,27 @@ def _minhash_signatures(spark, sf_dir):
             yield out
 
     ddl = "doc_id long, " + ", ".join(f"h{i} string" for i in range(N_MINHASH))
-    return _spread(
-        _t(spark, sf_dir, "documents").select("doc_id", "text")
-    ).mapInPandas(kernel, schema=ddl)
+    if docs is not None:
+        return docs.select("doc_id", "text").mapInPandas(kernel, schema=ddl)
+    key = (id(spark), sf_dir)
+    cached = _SIG_CACHE.get(key)
+    if cached is None:
+        cached = (
+            _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+            .mapInPandas(kernel, schema=ddl)
+            .persist()
+        )
+        _SIG_CACHE[key] = cached
+    return cached
 
 
-def q_minhash_lsh_candidates(spark, sf_dir):
+def q_minhash_lsh_candidates(spark, sf_dir, docs=None):
     """MinHash+LSH near-dup candidates: 8 string-minhashes over word
-    3-gram shingles (min of md5(seed|shingle) — a deterministic random
-    permutation both engines share), banded 4x2; candidate pairs share
-    at least one band. Oracle-able because md5 is identical everywhere."""
-    sig = _minhash_signatures(spark, sf_dir)
+    3-gram shingles (hex-slice permutations of md5(seed|shingle) — a
+    deterministic random permutation both engines share), banded 4x2;
+    candidate pairs share at least one band. Oracle-able because md5 is
+    identical everywhere."""
+    sig = _minhash_signatures(spark, sf_dir, docs=docs)
     # ONE explode per evaluation (a 4-way union of selects would
     # re-evaluate the signature kernel once per band per join side)
     bands = sig.select(
@@ -713,7 +731,7 @@ SQL_NGRAM_JACCARD_PAIRS = SQL_NGRAM_JACCARD_PAIRS.format(
 )
 
 
-def q_near_dup_clusters(spark, sf_dir):
+def q_near_dup_clusters(spark, sf_dir, docs=None):
     """Near-duplicate CLUSTERS: connected components over the MinHash-
     LSH candidate pairs, labeled by each component's smallest doc_id —
     the final dedup step of a training-data pipeline (keep one canonical
@@ -3471,7 +3489,7 @@ FROM wn
 SQL_DOC_FINGERPRINT = _sql_doc_fingerprint()
 
 
-def q_minhash_dedup_keep(spark, sf_dir):
+def q_minhash_dedup_keep(spark, sf_dir, docs=None):
     """The dedup pipeline's END PRODUCT: the per-document keep decision.
     MinHash-LSH candidates -> connected components -> keep the smallest
     doc_id per cluster; documents in no cluster are kept.  Composes
@@ -3479,8 +3497,12 @@ def q_minhash_dedup_keep(spark, sf_dir):
     against the corpus — the join is on doc_id, and the cluster side is
     only the clustered documents (tiny relative to the corpus), so at
     100 TB this broadcasts."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
-    clusters = q_near_dup_clusters(spark, sf_dir)
+    clusters = q_near_dup_clusters(spark, sf_dir, docs=docs)
+    docs = (
+        docs.select("doc_id")
+        if docs is not None
+        else _t(spark, sf_dir, "documents").select("doc_id")
+    )
     return docs.join(F.broadcast(clusters), "doc_id", "left").select(
         "doc_id",
         F.coalesce("cluster", F.col("doc_id")).alias("cluster"),
@@ -3508,13 +3530,13 @@ PRUNE_MIN_STOP_RATIO = 0.03
 PRUNE_MIN_QUALITY = 0.35
 
 
-def q_quality_prune_pipeline(spark, sf_dir):
+def q_quality_prune_pipeline(spark, sf_dir, docs=None):
     """The assembled quality-prune pipeline a pretraining corpus runs in
     one scan: min/max length gates, stopword-density (language) gate,
     composite quality gate — with the FIRST failing gate named per
     document (the audit trail production filters keep).  All gates are
     JVM expressions over one pass; at 100 TB this is scan-speed."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = docs if docs is not None else _t(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     n_tokens = F.size(toks)
     n_chars = F.length("text")
@@ -4681,14 +4703,23 @@ def q_corpus_prepare(spark, sf_dir):
     composition a user of the engine actually runs before training —
     each stage is the already-verified operator, chained; the packing
     window re-evaluates over the filtered set, so pack ids are dense
-    over survivors."""
-    kept_q = q_quality_prune_pipeline(spark, sf_dir).filter(
+    over survivors.
+
+    The three branches share ONE persisted corpus scan (doc_id, lang,
+    text) instead of re-scanning per branch — DataFrame branches don't
+    share subplans, so without the persist the quality gates, the
+    signature kernel, and the survivor join each read the corpus
+    independently."""
+    shared = _spread(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    ).persist()
+    kept_q = q_quality_prune_pipeline(spark, sf_dir, docs=shared).filter(
         F.col("keep") == 1
     ).select("doc_id", "n_tokens")
-    kept_d = q_minhash_dedup_keep(spark, sf_dir).filter(
+    kept_d = q_minhash_dedup_keep(spark, sf_dir, docs=shared).filter(
         F.col("kept") == 1
     ).select("doc_id")
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    docs = shared.select("doc_id", "lang")
     survivors = docs.join(kept_q, "doc_id").join(kept_d, "doc_id")
     w = (
         W.partitionBy("lang")
