@@ -4463,6 +4463,12 @@ FROM err e LEFT JOIN hits h ON e.event_id = h.event_id
 
 
 N_BPE_MERGES = 6
+# merge-application fixpoint bound: chained global replace passes per
+# merge step. One pass halves a chain of consecutive same-pair
+# occurrences, so 8 passes converge for any chain up to 2^8 — far
+# beyond any real word. BOTH engines apply exactly this bounded spec,
+# so they cannot diverge even on adversarial inputs.
+BPE_FIX_PASSES = 8
 
 
 def _bpe_words(spark, sf_dir):
@@ -4499,15 +4505,22 @@ def q_bpe_train(spark, sf_dir):
     """Distributed BPE tokenizer training: N_BPE_MERGES iterations of
     (count adjacent symbol pairs across the weighted vocabulary) ->
     (merge the most frequent pair, count-desc pair-asc tie-break) ->
-    (re-tokenize by non-overlapping left-to-right replacement — exactly
-    the semantics of string replace on the space-separated form).
-    Output: one row per merge step (step, pair, frequency) — the merge
-    table IS the trained tokenizer.
+    (re-tokenize by applying the merge to fixpoint: BPE_FIX_PASSES
+    chained global space-delimited replace passes).  A single replace
+    pass misses consecutive occurrences (the shared delimiter space is
+    consumed: ' a b a b ' -> ' ab a b '), so the pass is chained — each
+    pass halves a surviving same-pair chain, so 8 passes converge for
+    any chain up to 2^8 occurrences, and the converged result equals
+    textbook BPE's one-scan left-to-right merge (merging (A,B) into AB
+    can never create a new (A,B) occurrence, so occurrences are only
+    destroyed, left to right).  Output: one row per merge step (step,
+    pair, frequency) — the merge table IS the trained tokenizer.
 
     Scale shape: each iteration is one explode + one hash agg over the
-    DISTINCT-word table (vocabulary cardinality); the only driver sync
-    is the single winning pair per iteration.  The DuckDB oracle unrolls
-    the same iterations as CTEs."""
+    DISTINCT-word table (vocabulary cardinality) plus one Arrow kernel
+    for the fixpoint re-tokenize; the only driver sync is the single
+    winning pair per iteration.  The DuckDB oracle unrolls the same
+    iterations as CTEs, nesting the same bounded replace chain."""
     vocab = _bpe_words(spark, sf_dir).persist()
     merges = []
     cur = vocab
@@ -4535,18 +4548,35 @@ def q_bpe_train(spark, sf_dir):
             .orderBy(F.col("cnt").desc(), "pair")
             .head()
         )
+        if top is None:
+            # vocabulary exhausted (every word fully merged) — the
+            # oracle's CTE chain degrades identically: an empty winning
+            # pair empties every later stage, emitting no further rows
+            break
         merges.append((step, top["pair"], int(top["cnt"])))
         merged = top["pair"].replace(" ", "")
-        # literal (non-regex) replace via the SQL replace() function —
-        # merged symbols may contain regex metacharacters
-        nxt = cur.select(
-            F.call_function(
-                "replace",
-                F.col("tok"),
-                F.lit(f" {top['pair']} "),
-                F.lit(f" {merged} "),
-            ).alias("tok"),
-            "freq",
+        # literal (non-regex) replace chained to the bounded fixpoint —
+        # a plain-Python loop per word in an Arrow kernel (the word
+        # strings are short; the table is vocabulary-cardinality). The
+        # early break is a pure shortcut: once the pair is gone the
+        # remaining passes are no-ops in SQL too, so the engines agree.
+        pat, rep = f" {top['pair']} ", f" {merged} "
+
+        def fix_kernel(batch_iter, _pat=pat, _rep=rep):
+            import pandas as pd
+
+            for pdf in batch_iter:
+                toks = []
+                for t in pdf["tok"]:
+                    for _ in range(BPE_FIX_PASSES):
+                        if _pat not in t:
+                            break
+                        t = t.replace(_pat, _rep)
+                    toks.append(t)
+                yield pd.DataFrame({"tok": toks, "freq": pdf["freq"]})
+
+        nxt = cur.mapInPandas(
+            fix_kernel, schema="tok string, freq long"
         ).persist()
         nxt.count()
         if cur is not vocab:
@@ -4577,6 +4607,9 @@ WITH wf AS (
   FROM wf
 )"""
     sql = base
+    nested = "tok"
+    for _ in range(BPE_FIX_PASSES):
+        nested = f"replace({nested}, pat, rep)"
     for k in range(N_BPE_MERGES):
         sql += f""",
 p{k} AS (
@@ -4592,17 +4625,23 @@ p{k} AS (
     FROM w{k}
   ) pr
   GROUP BY pr.pair
+), m{k} AS (
+  SELECT ' ' || pair || ' ' AS pat,
+         ' ' || replace(pair, ' ', '') || ' ' AS rep
+  FROM (SELECT pair FROM p{k} ORDER BY cnt DESC, pair LIMIT 1)
 ), t{k} AS (
   SELECT pair, cnt FROM p{k}
   ORDER BY cnt DESC, pair
   LIMIT 1
 ), w{k + 1} AS (
-  SELECT replace(tok,
-                 ' ' || (SELECT pair FROM t{k}) || ' ',
-                 ' ' || replace((SELECT pair FROM t{k}), ' ', '') || ' ')
-           AS tok,
-         freq
-  FROM w{k}
+  -- merge to (bounded) fixpoint: {BPE_FIX_PASSES} chained global
+  -- replace passes — one pass misses consecutive occurrences whose
+  -- shared delimiter space the previous match consumed, and a pass
+  -- halves the surviving chain, so this converges for any chain of
+  -- up to 2^{BPE_FIX_PASSES} same-pair occurrences (longer than any
+  -- real word); identical bounded spec on the Spark side
+  SELECT {nested} AS tok, freq
+  FROM w{k}, m{k}
 )"""
     unions = "\nUNION ALL\n".join(
         f"SELECT {k} AS step, pair, CAST(cnt AS BIGINT) AS frequency FROM t{k}"

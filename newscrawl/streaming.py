@@ -51,7 +51,12 @@ def stream_crawl(
     the streaming mode gets INCREMENTAL cross-batch near-dup gating for
     free — a page arriving in a later micro-batch that near-duplicates
     any earlier batch's article is flagged (or dropped) against the
-    persisted index, exactly-once under foreachBatch retries.
+    persisted index, exactly-once under foreachBatch retries: each
+    wave's snapshot records its micro-batch epoch id (committed
+    atomically with the wave), and ``handle`` no-ops when the incoming
+    epoch is already committed — so a driver crash between the catalog
+    commit and the streaming checkpoint advance replays the batch into
+    a skip instead of a duplicate wave.
     """
     reader = spark.readStream.schema(PAGES)
     if max_files_per_trigger is not None:
@@ -60,8 +65,28 @@ def stream_crawl(
 
     n_waves = {"n": 0}
 
-    def handle(batch_df, _epoch_id: int) -> None:
+    def _last_committed_epoch() -> int:
+        """Walk the snapshot chain back to the newest wave that carries
+        a stream_epoch marker (epochs are monotone, so the first hit is
+        the max). Bounded by the committed-but-unacknowledged window in
+        practice — normally the current snapshot answers immediately."""
+        snap = catalog.current_snapshot()
+        while snap is not None:
+            ep = (snap.get("metrics") or {}).get("stream_epoch")
+            if ep is not None:
+                return int(ep)
+            parent = snap.get("parent_snapshot_id")
+            snap = catalog.snapshot(parent) if parent is not None else None
+        return -1
+
+    def handle(batch_df, epoch_id: int) -> None:
         if not batch_df.head(1):
+            return
+        if int(epoch_id) <= _last_committed_epoch():
+            # foreachBatch replay of a batch whose wave already
+            # committed (crash after catalog commit, before checkpoint
+            # advance) — reprocessing would duplicate articles/seen/
+            # band rows as a NEW wave
             return
         wave_index = catalog.last_wave_index() + 1
         run_wave(
@@ -74,6 +99,7 @@ def stream_crawl(
             scheduler=scheduler,
             webhook_key=webhook_key,
             dedup_gate=dedup_gate,
+            extra_metrics={"stream_epoch": int(epoch_id)},
         )
         n_waves["n"] += 1
 

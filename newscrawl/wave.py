@@ -145,6 +145,7 @@ def run_wave(
     media_max_side: int = 256,
     dedup_gate: str | None = None,
     min_quality: float | None = None,
+    extra_metrics: dict | None = None,
 ) -> dict:
     """One crawl wave. ``enrich_fn`` swaps the deterministic classify
     stand-in for real model inference (see extract.make_extract_kernel).
@@ -736,6 +737,12 @@ def run_wave(
             "topic_distribution": dim_dist("topic"),
             "sentiment_distribution": dim_dist("sentiment"),
         }
+        if extra_metrics:
+            # caller-supplied idempotence markers (e.g. the streaming
+            # epoch id) ride the snapshot's metrics dict — committed
+            # atomically with the wave, snapshot-only (the wave_metrics
+            # TABLE keeps its fixed schema below)
+            metrics.update(extra_metrics)
         # driver-resident tables (1 metrics row, K bloom shards) write
         # via pyarrow directly — each Spark job here costs ~0.3-0.5 s of
         # the wave's SERIAL tail for a KB-scale payload

@@ -103,3 +103,46 @@ def test_gemm_group_rows_bounded_sf01(spark):
     }
     assert sum(sizes.values()) == n
     assert max(sizes.values()) <= max(4 * n // b, 64)
+
+
+def test_bpe_merge_applies_to_fixpoint(spark, tmp_path):
+    """Pin the merge-application semantics on the adversarial input
+    'abab': with single-pass replace the word ' a b a b ' merges only
+    its first pair per iteration (' ab a b '); the spec is fixpoint
+    application, so after merging ('a','b') the word is ' ab ab ' and
+    the SECOND winning pair must be 'ab ab' — textbook BPE.  Both
+    engines must agree row-for-row on the same crafted corpus."""
+    import duckdb as ddb
+
+    from newscrawl.queries import SQL_BPE_TRAIN, q_bpe_train
+
+    d = tmp_path / "bpe"
+    spark.createDataFrame(
+        [(0, "abab abab"), (1, "abab cd")],
+        "doc_id bigint, text string",
+    ).coalesce(1).write.parquet(str(d / "documents.parquet"))
+
+    got = (
+        q_bpe_train(spark, str(d))
+        .orderBy("step")
+        .collect()
+    )
+    # step 0 merges the most frequent pair 'a b' (3 'abab' words x 2
+    # occurrences each, counted on the unmerged form)
+    assert (got[0].pair, got[0].frequency) == ("a b", 6)
+    # fixpoint: ' a b a b ' -> ' ab ab ', so step 1's winner is the
+    # adjacent merged pair — single-pass semantics would leave
+    # ' ab a b ' and pick 'ab a' here instead
+    assert got[1].pair == "ab ab"
+
+    con = ddb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d / 'documents.parquet'}/*.parquet')"
+    )
+    want = con.execute(
+        SQL_BPE_TRAIN + " ORDER BY step"
+    ).fetchall()
+    assert [(r.step, r.pair, r.frequency) for r in got] == [
+        (s, p, f) for s, p, f in want
+    ]

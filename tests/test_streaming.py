@@ -335,3 +335,43 @@ def test_stream_crawl_dedup_gate_across_micro_batches(spark, tmp_path):
     assert flags[dup_url].matched_url == src_url
     urls = {r.url for r in wave.read_articles(spark, catalog).collect()}
     assert src_url in urls and dup_url not in urls
+
+
+def test_stream_crawl_replayed_epochs_are_skipped(spark, tmp_path):
+    """Exactly-once under foreachBatch replay: a second stream run over
+    the SAME pages and catalog but a FRESH checkpoint re-delivers every
+    micro-batch with its original epoch ids — each wave's snapshot
+    recorded its stream_epoch at commit, so the replays must no-op
+    (no new waves, byte-identical catalog state) instead of committing
+    duplicate articles/seen/band rows as new waves."""
+    cfg = synth.SynthConfig(n_seed=3, n_total=12, hot_links=False)
+    pages = synth.build_pages_df(spark, cfg, num_partitions=4)
+    pages_dir = str(tmp_path / "pages")
+    pages.write.parquet(pages_dir)
+
+    catalog = ManifestParquetCatalog(str(tmp_path / "cat"))
+    wave.init_crawl(spark, catalog, synth.build_seeds_df(spark, cfg))
+    n1 = streaming.stream_crawl(
+        spark, catalog, pages_dir,
+        checkpoint_dir=str(tmp_path / "ckpt1"),
+        max_files_per_trigger=2,
+    )
+    assert n1 >= 2
+    snap_before = catalog.current_snapshot()
+    arts_before = sorted(
+        (r.url, r.wave_id) for r in wave.read_articles(spark, catalog).collect()
+    )
+
+    # fresh checkpoint = the stream source re-delivers epochs 0..n1-1
+    n2 = streaming.stream_crawl(
+        spark, catalog, pages_dir,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+        max_files_per_trigger=2,
+    )
+    assert n2 == 0
+    snap_after = catalog.current_snapshot()
+    assert snap_after["snapshot_id"] == snap_before["snapshot_id"]
+    arts_after = sorted(
+        (r.url, r.wave_id) for r in wave.read_articles(spark, catalog).collect()
+    )
+    assert arts_after == arts_before
