@@ -102,6 +102,13 @@ BENCH_QUERIES = [
     "bpe_train",
     "bigram_lm_perplexity",
     "corpus_prepare",
+    # round 5
+    "bm25_topk",
+    "lexical_diversity",
+    "pmi_cooccurrence",
+    "data_split",
+    "srp_lsh_candidates",
+    "bpe_encode",
 ]
 
 

@@ -4471,12 +4471,14 @@ N_BPE_MERGES = 6
 BPE_FIX_PASSES = 8
 
 
-def _bpe_words(spark, sf_dir):
+def _bpe_words(spark, sf_dir, carry_word: bool = False):
     """(tok, freq): the corpus as a DISTINCT-word frequency table with
     each word exploded to space-separated characters, space-padded —
     the classic BPE working set (state is vocabulary-cardinality, not
     corpus-cardinality, so iterations touch a tiny frame no matter how
-    big the corpus is)."""
+    big the corpus is).  ``carry_word`` keeps the original word column
+    so the trained vocabulary doubles as a word -> BPE-segmentation
+    mapping (q_bpe_encode)."""
     docs = _spread(_t(spark, sf_dir, "documents"))
     words = (
         docs.select(
@@ -4495,33 +4497,21 @@ def _bpe_words(spark, sf_dir):
         F.sequence(F.lit(1), F.length("word")),
         lambda i: F.col("word").substr(i, F.lit(1)),
     )
-    return words.select(
-        F.concat(F.lit(" "), F.concat_ws(" ", chars), F.lit(" ")).alias("tok"),
-        "freq",
+    tok = F.concat(F.lit(" "), F.concat_ws(" ", chars), F.lit(" ")).alias("tok")
+    if carry_word:
+        return words.select("word", tok, "freq")
+    return words.select(tok, "freq")
+
+
+def _bpe_train_vocab(spark, sf_dir, carry_word: bool = False):
+    """Run the BPE training loop; returns (merges, final_vocab) where
+    final_vocab is the persisted (word?, tok, freq) frame after all
+    merges — the trained word -> segmentation mapping.  The caller owns
+    unpersisting final_vocab."""
+    vocab = _bpe_words(spark, sf_dir, carry_word=carry_word).persist()
+    kernel_schema = (
+        "word string, tok string, freq long" if carry_word else "tok string, freq long"
     )
-
-
-def q_bpe_train(spark, sf_dir):
-    """Distributed BPE tokenizer training: N_BPE_MERGES iterations of
-    (count adjacent symbol pairs across the weighted vocabulary) ->
-    (merge the most frequent pair, count-desc pair-asc tie-break) ->
-    (re-tokenize by applying the merge to fixpoint: BPE_FIX_PASSES
-    chained global space-delimited replace passes).  A single replace
-    pass misses consecutive occurrences (the shared delimiter space is
-    consumed: ' a b a b ' -> ' ab a b '), so the pass is chained — each
-    pass halves a surviving same-pair chain, so 8 passes converge for
-    any chain up to 2^8 occurrences, and the converged result equals
-    textbook BPE's one-scan left-to-right merge (merging (A,B) into AB
-    can never create a new (A,B) occurrence, so occurrences are only
-    destroyed, left to right).  Output: one row per merge step (step,
-    pair, frequency) — the merge table IS the trained tokenizer.
-
-    Scale shape: each iteration is one explode + one hash agg over the
-    DISTINCT-word table (vocabulary cardinality) plus one Arrow kernel
-    for the fixpoint re-tokenize; the only driver sync is the single
-    winning pair per iteration.  The DuckDB oracle unrolls the same
-    iterations as CTEs, nesting the same bounded replace chain."""
-    vocab = _bpe_words(spark, sf_dir).persist()
     merges = []
     cur = vocab
     for step in range(N_BPE_MERGES):
@@ -4562,7 +4552,7 @@ def q_bpe_train(spark, sf_dir):
         # remaining passes are no-ops in SQL too, so the engines agree.
         pat, rep = f" {top['pair']} ", f" {merged} "
 
-        def fix_kernel(batch_iter, _pat=pat, _rep=rep):
+        def fix_kernel(batch_iter, _pat=pat, _rep=rep, _cw=carry_word):
             import pandas as pd
 
             for pdf in batch_iter:
@@ -4573,25 +4563,54 @@ def q_bpe_train(spark, sf_dir):
                             break
                         t = t.replace(_pat, _rep)
                     toks.append(t)
-                yield pd.DataFrame({"tok": toks, "freq": pdf["freq"]})
+                out = {"tok": toks, "freq": pdf["freq"]}
+                if _cw:
+                    out = {"word": pdf["word"], "tok": toks, "freq": pdf["freq"]}
+                yield pd.DataFrame(out)
 
-        nxt = cur.mapInPandas(
-            fix_kernel, schema="tok string, freq long"
-        ).persist()
+        nxt = cur.mapInPandas(fix_kernel, schema=kernel_schema).persist()
         nxt.count()
         if cur is not vocab:
             cur.unpersist()
         cur = nxt
     if cur is not vocab:
-        cur.unpersist()
-    vocab.unpersist()
+        vocab.unpersist()
+    return merges, cur
+
+
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer training: N_BPE_MERGES iterations of
+    (count adjacent symbol pairs across the weighted vocabulary) ->
+    (merge the most frequent pair, count-desc pair-asc tie-break) ->
+    (re-tokenize by applying the merge to fixpoint: BPE_FIX_PASSES
+    chained global space-delimited replace passes).  A single replace
+    pass misses consecutive occurrences (the shared delimiter space is
+    consumed: ' a b a b ' -> ' ab a b '), so the pass is chained — each
+    pass halves a surviving same-pair chain, so 8 passes converge for
+    any chain up to 2^8 occurrences, and the converged result equals
+    textbook BPE's one-scan left-to-right merge (merging (A,B) into AB
+    can never create a new (A,B) occurrence, so occurrences are only
+    destroyed, left to right).  Output: one row per merge step (step,
+    pair, frequency) — the merge table IS the trained tokenizer.
+
+    Scale shape: each iteration is one explode + one hash agg over the
+    DISTINCT-word table (vocabulary cardinality) plus one Arrow kernel
+    for the fixpoint re-tokenize; the only driver sync is the single
+    winning pair per iteration.  The DuckDB oracle unrolls the same
+    iterations as CTEs, nesting the same bounded replace chain."""
+    merges, final_vocab = _bpe_train_vocab(spark, sf_dir)
+    final_vocab.unpersist()
     return spark.createDataFrame(
         merges, "step int, pair string, frequency long"
     )
 
 
-def _sql_bpe_train() -> str:
-    base = """
+def _sql_bpe_chain(carry_word: bool = False) -> str:
+    """The shared training-CTE chain (wf -> w0 -> ... -> wK).  With
+    ``carry_word`` every stage keeps the original word column, so wK is
+    the trained word -> BPE-segmentation mapping."""
+    w = "word, " if carry_word else ""
+    base = f"""
 WITH wf AS (
   SELECT word, count(*) AS freq
   FROM (SELECT unnest(list_filter(
@@ -4600,7 +4619,7 @@ WITH wf AS (
         FROM documents)
   GROUP BY word
 ), w0 AS (
-  SELECT ' ' || array_to_string(
+  SELECT {w}' ' || array_to_string(
            list_transform(range(1, length(word) + 1),
                           i -> word[i:i]), ' ') || ' ' AS tok,
          freq
@@ -4640,17 +4659,86 @@ p{k} AS (
   -- halves the surviving chain, so this converges for any chain of
   -- up to 2^{BPE_FIX_PASSES} same-pair occurrences (longer than any
   -- real word); identical bounded spec on the Spark side
-  SELECT {nested} AS tok, freq
+  SELECT {w}{nested} AS tok, freq
   FROM w{k}, m{k}
 )"""
+    return sql
+
+
+def _sql_bpe_train() -> str:
     unions = "\nUNION ALL\n".join(
         f"SELECT {k} AS step, pair, CAST(cnt AS BIGINT) AS frequency FROM t{k}"
         for k in range(N_BPE_MERGES)
     )
-    return sql + f"\n{unions}\n"
+    return _sql_bpe_chain() + f"\n{unions}\n"
 
 
 SQL_BPE_TRAIN = _sql_bpe_train()
+
+
+def q_bpe_encode(spark, sf_dir):
+    """APPLY the trained BPE tokenizer to the corpus: per-document word
+    and BPE-token counts plus tokens-per-word — the fertility statistic
+    that tells you what a tokenizer costs on your data.  Training runs
+    once (the same loop as q_bpe_train, carrying the word column); the
+    resulting word -> segmentation mapping is vocabulary-sized and
+    BROADCASTS into one corpus scan — applying a tokenizer at 100 TB is
+    a map-side join, never a shuffle.  Counts are integers; the ratio is
+    one division — no float-order hazards."""
+    _merges, vocab = _bpe_train_vocab(spark, sf_dir, carry_word=True)
+    mapping = vocab.select(
+        "word", F.size(F.split(F.trim(F.col("tok")), " ")).alias("n_sym")
+    )
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("word"),
+    )
+    out = (
+        words.join(F.broadcast(mapping), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_bpe_tokens",
+            (
+                F.round(F.col("n_bpe_tokens") / F.col("n_words"), 4)
+                + F.lit(0.0)
+            ).alias("tokens_per_word"),
+        )
+    )
+    return out
+
+
+def _sql_bpe_encode() -> str:
+    return _sql_bpe_chain(carry_word=True) + f""",
+dw AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(lower(trim(text)), '\\s+'),
+           x -> x <> '')) AS word
+  FROM documents
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(len(string_split(trim(tok), ' '))) AS BIGINT)
+         AS n_bpe_tokens,
+       round(sum(len(string_split(trim(tok), ' '))) * 1.0 / count(*), 4)
+         + 0.0 AS tokens_per_word
+FROM dw JOIN w{N_BPE_MERGES} USING (word)
+GROUP BY doc_id
+"""
+
+
+SQL_BPE_ENCODE = _sql_bpe_encode()
 
 
 def q_bigram_lm_perplexity(spark, sf_dir):
@@ -4799,6 +4887,379 @@ FROM c
 
 
 # ---------------------------------------------------------------------------
+# Round-5 operators: retrieval scoring, tokenizer application, lexical
+# statistics, SRP-LSH ANN, dataset splitting
+# ---------------------------------------------------------------------------
+
+BM25_QUERY_TERMS = ("window", "hash", "stream")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 10
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-k retrieval for a fixed query over the corpus — the
+    scoring half of a search/RAG stack.  One explode builds the term
+    table; document length and corpus stats come from exact integer
+    aggregates (avgdl enters the formula as total_tokens/n_docs, an
+    integer division both engines evaluate identically — never a
+    pre-averaged float).  Per-term partial scores are summed in FIXED
+    query order (conditional aggregates, not a float groupBy sum, whose
+    addition order is nondeterministic).  At 100 TB the query-term
+    filter prunes the explode to postings for 3 terms, and the top-k is
+    a TakeOrdered, not a global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(_toks()).alias("term")
+    ).filter(F.col("term") != "")
+    dl = terms.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("tot")
+    ).first()
+    n_docs, tot_tokens = int(stats["n"]), int(stats["tot"])
+    tf = (
+        terms.filter(F.col("term").isin(*BM25_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(df_), "term").join(dl, "doc_id")
+    avgdl = F.lit(tot_tokens) / F.lit(n_docs)
+    idf = F.log(
+        (F.lit(n_docs) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    part = (
+        idf
+        * F.col("tf")
+        * F.lit(BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(BM25_K1)
+            * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / avgdl)
+        )
+    )
+    per_term = [
+        F.coalesce(
+            F.max(F.when(F.col("term") == t, part)), F.lit(0.0)
+        )
+        for t in BM25_QUERY_TERMS
+    ]
+    total = per_term[0]
+    for x in per_term[1:]:
+        total = total + x
+    return (
+        scored.groupBy("doc_id")
+        .agg((F.round(total, 4) + F.lit(0.0)).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(BM25_TOP_K)
+    )
+
+
+def _sql_bm25() -> str:
+    part = """(
+      ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * ({k1} + 1.0)
+      / (tf + {k1} * ({one_minus_b} + {b} * dl / (tot_tokens * 1.0 / n_docs)))
+    )""".format(k1=repr(BM25_K1), b=repr(BM25_B), one_minus_b=repr(1.0 - BM25_B))
+    terms_total = " + ".join(
+        f"coalesce(max(CASE WHEN term = '{t}' THEN {part} END), 0.0)"
+        for t in BM25_QUERY_TERMS
+    )
+    in_list = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+  FROM documents
+), terms AS (
+  SELECT doc_id, term FROM t WHERE term <> ''
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM terms GROUP BY doc_id
+), st AS (
+  SELECT count(*) AS n_docs, sum(dl) AS tot_tokens FROM dl
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms
+  WHERE term IN ({in_list}) GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+)
+SELECT doc_id, round({terms_total}, 4) + 0.0 AS score
+FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), st
+GROUP BY doc_id
+ORDER BY score DESC, doc_id
+LIMIT {BM25_TOP_K}
+"""
+
+
+SQL_BM25_TOPK = _sql_bm25()
+
+
+def q_lexical_diversity(spark, sf_dir):
+    """Per-document lexical-diversity statistics: type-token ratio and
+    unigram entropy — the cheap gibberish/boilerplate signals a quality
+    classifier consumes (word-salad text has high TTR and near-uniform
+    entropy; template text collapses both).  Entropy's float summation
+    runs as an ordered fold over the SORTED per-doc term-count list
+    (F.aggregate == DuckDB list_sum, both left-to-right), because a
+    groupBy float sum has nondeterministic addition order."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(_toks()).alias("term")
+    ).filter(F.col("term") != "")
+    counts = terms.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.sort_array(F.collect_list(F.struct("term", "c"))).alias("tc"),
+    )
+    clnc = F.aggregate(
+        F.col("tc"),
+        F.lit(0.0),
+        lambda acc, x: acc + x["c"].cast("double") * F.log(x["c"].cast("double")),
+    )
+    n = F.col("n_tokens").cast("double")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        (F.round(F.col("n_types") / n, 4) + F.lit(0.0)).alias("ttr"),
+        (F.round(F.log(n) - clnc / n, 4) + F.lit(0.0)).alias("entropy"),
+    )
+
+
+SQL_LEXICAL_DIVERSITY = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+  FROM documents
+), terms AS (
+  SELECT doc_id, term FROM t WHERE term <> ''
+), counts AS (
+  SELECT doc_id, term, count(*) AS c FROM terms GROUP BY doc_id, term
+), per_doc AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         count(*) AS n_types,
+         list_sort(list(struct_pack(term := term, c := c))) AS tc
+  FROM counts GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_types,
+       round(n_types * 1.0 / n_tokens, 4) + 0.0 AS ttr,
+       round(ln(n_tokens)
+             - list_sum(list_transform(tc, x -> x.c * ln(x.c))) / n_tokens,
+             4) + 0.0 AS entropy
+FROM per_doc
+"""
+
+
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 15
+
+
+def q_pmi_cooccurrence(spark, sf_dir):
+    """Top adjacent-bigram PMI pairs — the collocation statistic used
+    for phrase mining and tokenizer-merge diagnostics.  PMI is computed
+    as ONE log of a ratio of exact integer products
+    (ln(c_ab * tu^2 / (tb * c_a * c_b))), so both engines do a single
+    identical double division — no float accumulation anywhere.  Two
+    explodes + three hash aggs; the unigram table broadcasts."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(_toks(), lambda t: t != "")
+    bi = docs.select(
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - 2),
+                    lambda i: F.struct(
+                        F.element_at(toks, i + 1).alias("w1"),
+                        F.element_at(toks, i + 2).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    uni = docs.select(F.explode(toks).alias("w")).groupBy("w").agg(
+        F.count("*").alias("cu")
+    )
+    tu = int(uni.agg(F.sum("cu")).first()[0])
+    cab = bi.groupBy("w1", "w2").agg(F.count("*").alias("cab"))
+    tb = int(cab.agg(F.sum("cab")).first()[0])
+    j = (
+        cab.filter(F.col("cab") >= PMI_MIN_COUNT)
+        .join(F.broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("cu", "c1")), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("cu", "c2")), "w2")
+    )
+    num = F.col("cab") * F.lit(tu) * F.lit(tu)
+    den = F.lit(tb) * F.col("c1") * F.col("c2")
+    return (
+        j.select(
+            "w1",
+            "w2",
+            "cab",
+            (F.round(F.log(num.cast("double") / den.cast("double")), 4) + F.lit(0.0)).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(PMI_TOP_K)
+    )
+
+
+SQL_PMI_COOCCURRENCE = f"""
+WITH d AS (
+  SELECT list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+           AS toks
+  FROM documents
+), bi AS (
+  SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+           list_transform(range(0, len(toks) - 1),
+                          i -> ROW(toks[i + 1], toks[i + 2]))
+         ELSE [] END) AS b
+  FROM d
+), cab AS (
+  SELECT b[1] AS w1, b[2] AS w2, count(*) AS cab FROM bi GROUP BY 1, 2
+), uni AS (
+  SELECT unnest(toks) AS w FROM d
+), cu AS (
+  SELECT w, count(*) AS cu FROM uni GROUP BY w
+), tot AS (
+  SELECT (SELECT sum(cu) FROM cu) AS tu,
+         (SELECT sum(cab) FROM cab) AS tb
+)
+SELECT w1, w2, cab,
+       round(ln(CAST(cab * tu * tu AS DOUBLE)
+                / CAST(tb * c1.cu * c2.cu AS DOUBLE)), 4) + 0.0 AS pmi
+FROM cab
+JOIN cu c1 ON cab.w1 = c1.w
+JOIN cu c2 ON cab.w2 = c2.w, tot
+WHERE cab >= {PMI_MIN_COUNT}
+ORDER BY pmi DESC, w1, w2
+LIMIT {PMI_TOP_K}
+"""
+
+
+SPLIT_TRAIN = 0.8
+SPLIT_VAL = 0.9  # (train, val] boundary; rest is test
+
+
+def q_data_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (80/10/10) by an exact
+    md5-uniform draw per doc_id — replayable on any cluster, no rand(),
+    no shuffle (pure map over the scan; the standard reproducible-split
+    pattern for corpus freezes).  The draw is the 60-bit md5 prefix /
+    2^60 — exact binary arithmetic, identical in both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        / F.lit(float(1 << 60))
+    )
+    split = (
+        F.when(u < F.lit(SPLIT_TRAIN), F.lit("train"))
+        .when(u < F.lit(SPLIT_VAL), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select(
+        "doc_id", "lang", "source", split.alias("split")
+    )
+
+
+SQL_DATA_SPLIT = f"""
+SELECT doc_id, lang, source,
+       CASE WHEN u < {repr(SPLIT_TRAIN)} THEN 'train'
+            WHEN u < {repr(SPLIT_VAL)} THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, lang, source,
+         CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS DOUBLE) / {float(1 << 60)!r} AS u
+  FROM documents
+) x
+"""
+
+
+N_SRP_BITS = 8
+
+
+def _srp_signs(j: int, dim: int) -> list[int]:
+    """Deterministic +-1 projection row j: sign from the parity of the
+    first hex nibble of md5(f'{j}|{d}') — the same derivation the SQL
+    oracle computes with DuckDB's md5, so the random matrix is shared
+    by construction, never shipped."""
+    import hashlib
+
+    return [
+        1 if int(hashlib.md5(f"{j}|{d}".encode()).hexdigest()[0], 16) % 2 == 0
+        else -1
+        for d in range(dim)
+    ]
+
+
+def q_srp_lsh_candidates(spark, sf_dir):
+    """Signed-random-projection LSH over the embedding table — the
+    cosine-ANN analog of the text MinHash bands (third ANN family next
+    to IVF and the GEMM block join).  Each vector hashes to an
+    N_SRP_BITS-bit sign pattern of deterministic +-1 projections; pairs
+    sharing the full pattern are near-duplicate candidates.  The
+    projection sum is an ordered fold over the dimension index
+    (F.aggregate == DuckDB list_sum, both left-to-right), so the sign
+    never diverges between engines.  One scan + one equi-join on the
+    bucket key; no pairwise anything."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    bits = []
+    for j in range(N_SRP_BITS):
+        signs = F.array(*[F.lit(float(v)) for v in _srp_signs(j, dim)])
+        proj = F.aggregate(
+            F.zip_with(
+                F.col("embedding"), signs, lambda x, sgn: x.cast("double") * sgn
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    keyed = emb.select(
+        "vec_id", F.concat(*bits).alias("bucket")
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.bucket").alias("bucket"),
+        )
+    )
+
+
+def _sql_srp() -> str:
+    bit = (
+        "CASE WHEN list_sum(list_transform(range(0, dim), d -> "
+        "CAST(embedding[d + 1] AS DOUBLE) * "
+        "(CASE WHEN CAST('0x' || substr(md5({j} || '|' || d), 1, 1) AS INT)"
+        " % 2 = 0 THEN 1.0 ELSE -1.0 END))) >= 0 THEN '1' ELSE '0' END"
+    )
+    bits = " || ".join(bit.format(j=j) for j in range(N_SRP_BITS))
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding, len(embedding) AS dim FROM embeddings
+), keyed AS (
+  SELECT vec_id, {bits} AS bucket FROM e
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket AS bucket
+FROM keyed a JOIN keyed b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+"""
+
+
+SQL_SRP_LSH_CANDIDATES = _sql_srp()
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -4816,6 +5277,12 @@ FROM c
 QUERIES = {
     # --- Tier A (round 5): new operators registered this round, inside
     #     the driver window until their first green row ---
+    "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "lexical_diversity": (q_lexical_diversity, SQL_LEXICAL_DIVERSITY),
+    "pmi_cooccurrence": (q_pmi_cooccurrence, SQL_PMI_COOCCURRENCE),
+    "data_split": (q_data_split, SQL_DATA_SPLIT),
+    "srp_lsh_candidates": (q_srp_lsh_candidates, SQL_SRP_LSH_CANDIDATES),
+    "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
     # --- Tier B (round 5): rows whose last green driver row was r01-r03
     #     (rotated past the window in r04), brought back for freshness ---
     "skip_boilerplate_filter": (q_skip_boilerplate_filter, SQL_SKIP_BOILERPLATE_FILTER),

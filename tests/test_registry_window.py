@@ -19,6 +19,12 @@ DRIVER_WINDOW = 50
 # New this round (r5) — never driver-verified; must be in-window.
 TIER_A_R5: list[str] = [
     "crawl_wave_articles",  # first green expected r05 (golden-fixture oracle)
+    "bm25_topk",
+    "lexical_diversity",
+    "pmi_cooccurrence",
+    "data_split",
+    "srp_lsh_candidates",
+    "bpe_encode",
 ]
 
 # Last green driver row r01-r03; rotated back in-window for freshness.
