@@ -233,11 +233,17 @@ def wave_flags(
         F.when(F.col("scope") == "prior_wave", 0).otherwise(1),
         "matched_url",
     )
+    # flags is persisted because BOTH gate outputs traverse it (the
+    # flag-table write directly, the band append via the anti-join) —
+    # two concurrent writes racing an unfilled cache would each re-run
+    # the probe joins and the first-wins window. Bounded: one row per
+    # flagged article of ONE wave. The caller unpersists it with
+    # cached_bands after the wave's writes commit.
     flags = (
         both.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
-    )
+    ).persist()
     kept_bands = bands_new.join(
         flags.select("url"), "url", "left_anti"
     )

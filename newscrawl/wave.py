@@ -402,12 +402,15 @@ def run_wave(
         n_extracted = extracted.count()
         tick("extract(materialize)")
         if _nd_cached is not None:
-            # materialize the wave's band frame ONCE before the parallel
-            # write pool: near_dup_flags and minhash_bands both derive
-            # from it, and two concurrent jobs racing an unfilled cache
-            # each recompute the (md5-heavy) band kernel
+            # materialize the wave's band frame AND the flag decisions
+            # ONCE before the parallel write pool: near_dup_flags and
+            # minhash_bands both derive from them, and two concurrent
+            # jobs racing an unfilled cache each recompute the
+            # (md5-heavy) band kernel and the probe joins
             _nd_cached.count()
             tick("dedup_gate(bands materialize)")
+            nd_flags.count()
+            tick("dedup_gate(flags materialize)")
 
         # metrics (A1-A3 analogs) in ONE aggregation job over the persisted
         # wave output: per-source yielded counts (count-desc, first-seen
@@ -690,6 +693,7 @@ def run_wave(
             accel_rows = f_accel.result() if f_accel is not None else None
         if _nd_cached is not None:
             _nd_cached.unpersist()
+            nd_flags.unpersist()
         tick("parallel writes+stats")
 
         n_yielded = sum(r.n for r in stat_rows)
