@@ -109,6 +109,9 @@ BENCH_QUERIES = [
     "data_split",
     "srp_lsh_candidates",
     "bpe_encode",
+    "srp_near_dup",
+    "funnel_conversion",
+    "retention_cohorts",
 ]
 
 

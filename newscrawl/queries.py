@@ -5279,6 +5279,171 @@ FROM keyed a JOIN keyed b
 SQL_SRP_LSH_CANDIDATES = _sql_srp()
 
 
+SRP_NEAR_DUP_COS = 0.40  # == q_embedding_near_dup's exact threshold
+
+
+def q_srp_near_dup(spark, sf_dir):
+    """SRP-LSH candidates VERIFIED with the exact cosine — the
+    candidate->verify composition every LSH family here follows (minhash
+    -> n-gram Jaccard; simhash -> banded hamming; SRP -> cosine), using
+    the SAME threshold as the exact q_embedding_near_dup, so this is its
+    LSH-accelerated approximation (recall traded for never touching
+    non-colliding pairs).  The bucket join bounds the pair set; the
+    exact check touches candidates only.  Dot products are ordered folds
+    (F.aggregate/zip_with == DuckDB list_dot_product)."""
+    cands = q_srp_lsh_candidates(spark, sf_dir).select("vec_a", "vec_b")
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+
+    def dot(u, v):
+        return F.aggregate(
+            F.zip_with(u, v, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    j = (
+        cands.join(emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea")), "vec_a")
+        .join(emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb")), "vec_b")
+    )
+    cos = dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(dot(F.col("ea"), F.col("ea"))) * F.sqrt(dot(F.col("eb"), F.col("eb")))
+    )
+    return (
+        j.select("vec_a", "vec_b", cos.alias("_c"))
+        .filter(F.round(F.col("_c"), 6) >= F.lit(SRP_NEAR_DUP_COS))
+        .select(
+            "vec_a", "vec_b", (F.round("_c", 4) + F.lit(0.0)).alias("cosine")
+        )
+    )
+
+
+def _sql_srp_near_dup() -> str:
+    return f"""
+WITH cands AS ({SQL_SRP_LSH_CANDIDATES.strip()}
+), ed AS (
+  SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS e
+  FROM embeddings
+), scored AS (
+  SELECT vec_a, vec_b,
+         list_dot_product(a.e, b.e)
+         / (sqrt(list_dot_product(a.e, a.e))
+            * sqrt(list_dot_product(b.e, b.e))) AS c
+  FROM cands JOIN ed a ON cands.vec_a = a.vec_id
+             JOIN ed b ON cands.vec_b = b.vec_id
+)
+SELECT vec_a, vec_b, round(c, 4) + 0.0 AS cosine
+FROM scored WHERE round(c, 6) >= {repr(SRP_NEAR_DUP_COS)}
+"""
+
+
+SQL_SRP_NEAR_DUP = _sql_srp_near_dup()
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def q_funnel_conversion(spark, sf_dir):
+    """Ordered funnel analysis over the event stream: per user, the
+    earliest 'view', the earliest 'click' strictly after it, the
+    earliest 'purchase' strictly after that — the canonical
+    product-analytics sequence query.  One row per stage with the
+    surviving user count.  Each stage is a per-user min aggregation +
+    one join keyed on user_id — shuffle-bounded by the user dimension,
+    never by event volume."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t1 = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[1])
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[2])
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    rows = [
+        t1.agg(F.lit(1).alias("stage_idx"), F.lit("view").alias("stage"), F.count("*").alias("n_users")),
+        t2.agg(F.lit(2).alias("stage_idx"), F.lit("view>click").alias("stage"), F.count("*").alias("n_users")),
+        t3.agg(F.lit(3).alias("stage_idx"), F.lit("view>click>purchase").alias("stage"), F.count("*").alias("n_users")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+SQL_FUNNEL_CONVERSION = """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), t2 AS (
+  SELECT e.user_id, min(ts) AS t2 FROM events e JOIN t1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY e.user_id
+), t3 AS (
+  SELECT e.user_id, min(ts) AS t3 FROM events e JOIN t2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY e.user_id
+)
+SELECT 1 AS stage_idx, 'view' AS stage, (SELECT count(*) FROM t1) AS n_users
+UNION ALL
+SELECT 2, 'view>click', (SELECT count(*) FROM t2)
+UNION ALL
+SELECT 3, 'view>click>purchase', (SELECT count(*) FROM t3)
+"""
+
+
+def q_retention_cohorts(spark, sf_dir):
+    """Cohort retention over the event stream: users grouped by their
+    first-activity day, counted by distinct active day offset — the
+    standard retention triangle.  Days are wall-clock date indexes
+    (datediff from 1970-01-01 on the NTZ value) — events timestamps are
+    TIMESTAMP_NTZ, and ANY cast through TimestampType re-interprets the
+    wall clock in the session zone (verified: epoch shifts by -9 h under
+    Asia/Tokyo), so the op never leaves wall-clock arithmetic; DuckDB's
+    naive date_diff agrees exactly."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.datediff(
+            F.to_date("ts"), F.lit("1970-01-01").cast("date")
+        ).cast("long").alias("day"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(first, "user_id")
+        .select("user_id", "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .distinct()
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+SQL_RETENTION_COHORTS = """
+WITH ev AS (
+  SELECT user_id,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT)
+           AS day
+  FROM events
+), first AS (
+  SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id
+), act AS (
+  SELECT DISTINCT ev.user_id, cohort_day, day - cohort_day AS day_offset
+  FROM ev JOIN first USING (user_id)
+)
+SELECT cohort_day, day_offset, count(*) AS n_users
+FROM act GROUP BY cohort_day, day_offset
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5303,6 +5468,9 @@ QUERIES = {
     "data_split": (q_data_split, SQL_DATA_SPLIT),
     "srp_lsh_candidates": (q_srp_lsh_candidates, SQL_SRP_LSH_CANDIDATES),
     "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
+    "srp_near_dup": (q_srp_near_dup, SQL_SRP_NEAR_DUP),
+    "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL_CONVERSION),
+    "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
     # --- Tier B (round 5): rows whose last green driver row was r01-r03
     #     (rotated past the window in r04), brought back for freshness ---
     "skip_boilerplate_filter": (q_skip_boilerplate_filter, SQL_SKIP_BOILERPLATE_FILTER),

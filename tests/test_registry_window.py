@@ -25,6 +25,9 @@ TIER_A_R5: list[str] = [
     "data_split",
     "srp_lsh_candidates",
     "bpe_encode",
+    "srp_near_dup",
+    "funnel_conversion",
+    "retention_cohorts",
 ]
 
 # Last green driver row r01-r03; rotated back in-window for freshness.
