@@ -226,6 +226,35 @@ def main() -> None:
             "pair crossing the driver (the plan shown is the collected "
             "merge table — bounded at N_BPE_MERGES rows).",
         ),
+        (
+            "bm25_topk",
+            "BM25 retrieval: the query-term filter prunes the exploded "
+            "term table to 3 postings lists; document-frequency side "
+            "broadcasts; the top-k is a TakeOrderedAndProject, never a "
+            "global sort.",
+        ),
+        (
+            "bpe_encode",
+            "Tokenizer APPLICATION: the trained word -> segmentation "
+            "mapping (vocabulary-sized) broadcasts into one corpus scan "
+            "— applying a tokenizer at 100 TB is a map-side "
+            "BroadcastHashJoin plus a per-doc integer aggregation.",
+        ),
+        (
+            "srp_near_dup",
+            "SRP-LSH candidate -> exact-cosine verify: one embeddings "
+            "scan computes the 8 sign bits (ordered folds, in-scan), "
+            "the bucket equi-join bounds the pair set, and the cosine "
+            "check touches candidates only — no CartesianProduct "
+            "anywhere.",
+        ),
+        (
+            "retention_cohorts",
+            "Cohort retention: two aggregations keyed on user_id and "
+            "(cohort, offset) — both shuffles bounded by the user "
+            "dimension; day indexes are wall-clock datediff arithmetic "
+            "(TIMESTAMP_NTZ never passes through a session-zone cast).",
+        ),
     ]:
         fn, _sql = QUERIES[name]
         sections.append((f"query: {name}", note, fmt(fn(spark, SF))))

@@ -246,3 +246,34 @@ def test_dedup_gate_probe_broadcasts_new_side(spark, tmp_path):
         "Exchange" in n or "HashAggregate" in n for n in path
     ), f"prior side shuffles/aggregates before the probe join: {path}\n{plan}"
     cached.unpersist()
+
+
+def test_bm25_topk_is_take_ordered(spark):
+    """The BM25 top-k must be a TakeOrderedAndProject (bounded partial
+    top-k per partition), never a global Sort of the scored set."""
+    from newscrawl.queries import q_bm25_topk
+
+    plan = _plan(q_bm25_topk(spark, "/root/testdata/sf0.01"))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_bpe_encode_mapping_broadcasts(spark):
+    """Tokenizer application must be a map-side broadcast join of the
+    vocabulary-sized mapping against the corpus scan — a shuffled join
+    keyed on words would move the whole corpus at 100 TB."""
+    from newscrawl.queries import q_bpe_encode
+
+    plan = _plan(q_bpe_encode(spark, "/root/testdata/sf0.01"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_srp_near_dup_no_cartesian(spark):
+    """The SRP verify step must only score bucket-join candidates —
+    never an all-pairs product."""
+    from newscrawl.queries import q_srp_near_dup
+
+    plan = _plan(q_srp_near_dup(spark, "/root/testdata/sf0.01"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
