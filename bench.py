@@ -112,6 +112,8 @@ BENCH_QUERIES = [
     "srp_near_dup",
     "funnel_conversion",
     "retention_cohorts",
+    "nb_lang_classifier",
+    "inverted_index",
 ]
 
 

@@ -5444,6 +5444,200 @@ FROM act GROUP BY cohort_day, day_offset
 """
 
 
+def q_nb_lang_classifier(spark, sf_dir):
+    """Multinomial Naive Bayes trained ON the corpus (add-one smoothing)
+    and evaluated in-corpus, reported as the lang confusion matrix —
+    the distributed mechanism behind fastText/CCNet-style
+    classifier-based filtering.  All model state is exact integer
+    counts; per-doc log-likelihoods fold over the SORTED per-doc
+    (word, multiplicity, class-count) list (F.aggregate == DuckDB
+    list_sum, both left-to-right), so scores are bit-identical across
+    engines.  NOTE the synthetic corpus draws every language's text
+    from one shared vocabulary, so accuracy ~= the majority class —
+    the op demonstrates the exact distributed shape (broadcast
+    vocabulary-sized model, one scan to score), which is the part that
+    matters at 100 TB; on real multilingual text the same plan
+    separates languages."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_true"),
+        F.explode(_toks()).alias("w"),
+    ).filter(F.col("w") != "")
+    dw = terms.groupBy("doc_id", "lang_true", "w").agg(
+        F.count("*").alias("m")
+    )
+    cls = docs.groupBy(F.col("lang").alias("cls")).agg(
+        F.count("*").alias("n_docs")
+    )
+    cws = terms.groupBy(F.col("lang_true").alias("cls"), "w").agg(
+        F.count("*").alias("c")
+    )
+    tot = cws.groupBy("cls").agg(F.sum("c").alias("t"))
+    v = int(terms.select("w").distinct().count())
+    n = int(docs.count())
+    model = cls.join(tot, "cls")
+    scored = (
+        dw.crossJoin(F.broadcast(model))
+        .join(F.broadcast(cws), ["cls", "w"], "left")
+        .groupBy("doc_id", "lang_true", "cls", "n_docs", "t")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct("w", "m", F.coalesce("c", F.lit(0)).alias("c"))
+                )
+            ).alias("wc")
+        )
+        .select(
+            "doc_id",
+            "lang_true",
+            "cls",
+            (
+                F.log(F.col("n_docs").cast("double") / F.lit(float(n)))
+                + F.aggregate(
+                    F.col("wc"),
+                    F.lit(0.0),
+                    lambda acc, x: acc
+                    + x["m"].cast("double")
+                    * F.log(
+                        (x["c"] + F.lit(1)).cast("double")
+                        / (F.col("t") + F.lit(v)).cast("double")
+                    ),
+                )
+            ).alias("score"),
+        )
+    )
+    w_rank = W.partitionBy("doc_id").orderBy(
+        F.round(F.col("score"), 6).desc(), F.col("cls")
+    )
+    pred = (
+        scored.withColumn("_rn", F.row_number().over(w_rank))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "lang_true", F.col("cls").alias("lang_pred"))
+    )
+    return pred.groupBy("lang_true", "lang_pred").agg(
+        F.count("*").alias("n")
+    )
+
+
+SQL_NB_LANG_CLASSIFIER = """
+WITH t AS (
+  SELECT doc_id, lang AS lang_true,
+         unnest(string_split_regex(lower(text), '\\s+')) AS w
+  FROM documents
+), terms AS (
+  SELECT doc_id, lang_true, w FROM t WHERE w <> ''
+), dw AS (
+  SELECT doc_id, lang_true, w, count(*) AS m
+  FROM terms GROUP BY doc_id, lang_true, w
+), cls AS (
+  SELECT lang AS cls, count(*) AS n_docs FROM documents GROUP BY lang
+), cws AS (
+  SELECT lang_true AS cls, w, count(*) AS c FROM terms GROUP BY 1, 2
+), tot AS (
+  SELECT cls, CAST(sum(c) AS BIGINT) AS t FROM cws GROUP BY cls
+), consts AS (
+  SELECT (SELECT count(DISTINCT w) FROM terms) AS v,
+         (SELECT count(*) FROM documents) AS n
+), grouped AS (
+  SELECT doc_id, lang_true, model.cls AS cls, n_docs, t,
+         list_sort(list(struct_pack(w := dw.w, m := m,
+                                    c := coalesce(cws.c, 0)))) AS wc
+  FROM dw
+  CROSS JOIN (SELECT * FROM cls JOIN tot USING (cls)) model
+  LEFT JOIN cws ON cws.cls = model.cls AND cws.w = dw.w
+  GROUP BY doc_id, lang_true, model.cls, n_docs, t
+), scored AS (
+  SELECT doc_id, lang_true, cls,
+         ln(n_docs * 1.0 / n)
+         + list_sum(list_transform(
+             wc, x -> x.m * ln((x.c + 1) * 1.0 / (t + v)))) AS score
+  FROM grouped, consts
+), pred AS (
+  SELECT doc_id, lang_true, cls AS lang_pred
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY round(score, 6) DESC, cls) AS rn
+    FROM scored
+  ) r WHERE rn = 1
+)
+SELECT lang_true, lang_pred, count(*) AS n
+FROM pred GROUP BY lang_true, lang_pred
+"""
+
+
+INVIDX_TOP_POSTINGS = 3
+
+
+def q_inverted_index(spark, sf_dir):
+    """Build the retrieval inverted index: per term, document frequency
+    and the top postings by term frequency (tf desc, doc asc),
+    serialized 'doc:tf' — the index structure BM25 serves from.  The
+    per-term top-k runs as a ranked Window (WindowGroupLimit prunes to
+    k per term before the final shuffle); postings order inside the
+    list is deterministic by construction."""
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(_toks()).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    w = W.partitionBy("term").orderBy(F.col("tf").desc(), "doc_id")
+    ranked = tf.withColumn("_rn", F.row_number().over(w))
+    top = ranked.filter(F.col("_rn") <= INVIDX_TOP_POSTINGS)
+    return (
+        ranked.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .join(
+            top.groupBy("term").agg(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct("_rn", "doc_id", "tf"))
+                        ),
+                        lambda x: F.concat_ws(
+                            ":",
+                            x["doc_id"].cast("string"),
+                            x["tf"].cast("string"),
+                        ),
+                    ),
+                    ",",
+                ).alias("postings")
+            ),
+            "term",
+        )
+    )
+
+
+SQL_INVERTED_INDEX = f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT term, doc_id, count(*) AS tf
+  FROM t WHERE term <> '' GROUP BY term, doc_id
+), ranked AS (
+  SELECT term, doc_id, tf,
+         row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id)
+           AS rn
+  FROM tf
+), dfreq AS (
+  SELECT term, count(*) AS df FROM ranked GROUP BY term
+), tops AS (
+  SELECT term,
+         array_to_string(
+           list_transform(
+             list_sort(list(struct_pack(rn := rn, doc_id := doc_id,
+                                        tf := tf))),
+             x -> CAST(x.doc_id AS VARCHAR) || ':' || CAST(x.tf AS VARCHAR)),
+           ',') AS postings
+  FROM ranked WHERE rn <= {INVIDX_TOP_POSTINGS} GROUP BY term
+)
+SELECT term, df, postings FROM dfreq JOIN tops USING (term)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5471,6 +5665,8 @@ QUERIES = {
     "srp_near_dup": (q_srp_near_dup, SQL_SRP_NEAR_DUP),
     "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL_CONVERSION),
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
+    "nb_lang_classifier": (q_nb_lang_classifier, SQL_NB_LANG_CLASSIFIER),
+    "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
     # --- Tier B (round 5): rows whose last green driver row was r01-r03
     #     (rotated past the window in r04), brought back for freshness ---
     "skip_boilerplate_filter": (q_skip_boilerplate_filter, SQL_SKIP_BOILERPLATE_FILTER),

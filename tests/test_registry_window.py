@@ -28,6 +28,8 @@ TIER_A_R5: list[str] = [
     "srp_near_dup",
     "funnel_conversion",
     "retention_cohorts",
+    "nb_lang_classifier",
+    "inverted_index",
 ]
 
 # Last green driver row r01-r03; rotated back in-window for freshness.
