@@ -114,6 +114,8 @@ BENCH_QUERIES = [
     "retention_cohorts",
     "nb_lang_classifier",
     "inverted_index",
+    "edit_distance_verify",
+    "lsh_index_stats",
 ]
 
 

@@ -34,6 +34,25 @@ from pyspark.sql import DataFrame, Window as W, functions as F
 N_MINHASH = 8  # == queries.N_MINHASH; 4 bands x 2 rows
 N_BANDS = N_MINHASH // 2
 
+# The in-kernel DuckDB band computation over an exploded (rid, s)
+# shingle frame named ``sh`` — module-level so tests can run the EXACT
+# same SQL against the pure-Python spec (tests/test_properties.py).
+BAND_SQL_TEMPLATE = """
+    WITH dg AS (
+      SELECT rid, j, md5(j || '|' || s) AS d
+      FROM sh, range({n_md5}) t(j)
+    ), m AS (
+      SELECT rid, j * 4 + k AS i, min(substr(d, k * 8 + 1, 8)) AS h
+      FROM dg, range(4) u(k)
+      GROUP BY rid, j * 4 + k
+    )
+    SELECT rid AS {id_col}, CAST(i // 2 AS INT) AS band,
+           min(CASE WHEN i % 2 = 0 THEN h END)
+           || min(CASE WHEN i % 2 = 1 THEN h END) AS key
+    FROM m
+    GROUP BY rid, i // 2
+"""
+
 
 def band_rows(df: DataFrame, id_col: str = "url", text_col: str = "text") -> DataFrame:
     """(id, band, key) LSH band keys, one Arrow kernel riding the scan —
@@ -56,26 +75,13 @@ def band_rows(df: DataFrame, id_col: str = "url", text_col: str = "text") -> Dat
 
     import pandas as pd
 
-    def kernel(batch_iter):
+    sql = BAND_SQL_TEMPLATE.format(n_md5=N_MINHASH // 4, id_col=id_col)
+
+    def kernel(batch_iter, sql=sql):
         import duckdb
 
         con = duckdb.connect()
         con.execute("SET threads=1")
-        sql = f"""
-            WITH dg AS (
-              SELECT rid, j, md5(j || '|' || s) AS d
-              FROM sh, range({N_MINHASH // 4}) t(j)
-            ), m AS (
-              SELECT rid, j * 4 + k AS i, min(substr(d, k * 8 + 1, 8)) AS h
-              FROM dg, range(4) u(k)
-              GROUP BY rid, j * 4 + k
-            )
-            SELECT rid AS {id_col}, CAST(i // 2 AS INT) AS band,
-                   min(CASE WHEN i % 2 = 0 THEN h END)
-                   || min(CASE WHEN i % 2 = 1 THEN h END) AS key
-            FROM m
-            GROUP BY rid, i // 2
-        """
         empty = pd.DataFrame(
             {id_col: pd.Series(dtype=object),
              "band": pd.Series(dtype="int32"),

@@ -5638,6 +5638,111 @@ SELECT term, df, postings FROM dfreq JOIN tops USING (term)
 """
 
 
+EDIT_DUP_NORM = 0.4
+
+
+def q_edit_distance_verify(spark, sf_dir):
+    """MinHash-LSH candidates verified with NORMALIZED LEVENSHTEIN over
+    the raw text — the character-level verify (RETSim-style) next to
+    the token-level n-gram Jaccard verify.  Edit distance is O(len^2)
+    per pair, affordable ONLY because the LSH join bounded the pair set;
+    Spark's levenshtein and DuckDB's implement the identical
+    unit-cost insert/delete/substitute recurrence, so the distances are
+    exact integers in both engines."""
+    cands = q_minhash_lsh_candidates(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    j = (
+        cands.join(
+            docs.select(
+                F.col("doc_id").alias("doc_a"), F.col("text").alias("ta")
+            ),
+            "doc_a",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("doc_b"), F.col("text").alias("tb")
+            ),
+            "doc_b",
+        )
+    )
+    lev = F.levenshtein("ta", "tb")
+    norm = lev / F.greatest(F.length("ta"), F.length("tb")).cast("double")
+    return j.select(
+        "doc_a",
+        "doc_b",
+        lev.alias("lev"),
+        (F.round(norm, 4) + F.lit(0.0)).alias("norm_lev"),
+        (F.round(norm, 6) <= F.lit(EDIT_DUP_NORM)).cast("int").alias("is_dup"),
+    )
+
+
+_SQL_EDIT_TMP = f"""
+WITH cands AS ({{minhash}}
+), j AS (
+  SELECT doc_a, doc_b, a.text AS ta, b.text AS tb
+  FROM cands
+  JOIN documents a ON cands.doc_a = a.doc_id
+  JOIN documents b ON cands.doc_b = b.doc_id
+)
+SELECT doc_a, doc_b,
+       levenshtein(ta, tb) AS lev,
+       round(levenshtein(ta, tb) * 1.0
+             / greatest(length(ta), length(tb)), 4) + 0.0 AS norm_lev,
+       CAST(round(levenshtein(ta, tb) * 1.0
+                  / greatest(length(ta), length(tb)), 6)
+            <= {repr(EDIT_DUP_NORM)} AS INT) AS is_dup
+FROM j
+"""
+SQL_EDIT_DISTANCE_VERIFY = _SQL_EDIT_TMP.format(
+    minhash=SQL_MINHASH_LSH_CANDIDATES
+)
+
+
+def q_lsh_index_stats(spark, sf_dir):
+    """Health metrics of the MinHash-LSH band index — the numbers an
+    operator watches to catch hot buckets before they become the k^2
+    hazard: per band, bucket count, max bucket size, and the candidate
+    pairs the band contributes (sum over buckets of k*(k-1)/2, exact
+    integers).  One groupBy over the band table; never touches pairs."""
+    sig = _minhash_signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat(
+                            F.col(f"h{2*b}"), F.col(f"h{2*b+1}")
+                        ).alias("key"),
+                    )
+                    for b in range(N_MINHASH // 2)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    buckets = bands.groupBy("band", "key").agg(F.count("*").alias("k"))
+    return buckets.groupBy("band").agg(
+        F.count("*").alias("n_buckets"),
+        F.max("k").alias("max_bucket"),
+        F.sum(
+            (F.col("k") * (F.col("k") - 1) / F.lit(2)).cast("long")
+        ).alias("cand_pairs"),
+    )
+
+
+_SQL_LSH_STATS_TMP = """
+{ctes}
+, buckets AS (
+  SELECT band, key, count(*) AS k FROM bands GROUP BY band, key
+)
+SELECT band, count(*) AS n_buckets, max(k) AS max_bucket,
+       CAST(sum(CAST(k * (k - 1) / 2 AS BIGINT)) AS BIGINT) AS cand_pairs
+FROM buckets GROUP BY band
+"""
+SQL_LSH_INDEX_STATS = _SQL_LSH_STATS_TMP.format(ctes=_minhash_sql_ctes())
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5667,6 +5772,8 @@ QUERIES = {
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
     "nb_lang_classifier": (q_nb_lang_classifier, SQL_NB_LANG_CLASSIFIER),
     "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
+    "edit_distance_verify": (q_edit_distance_verify, SQL_EDIT_DISTANCE_VERIFY),
+    "lsh_index_stats": (q_lsh_index_stats, SQL_LSH_INDEX_STATS),
     # --- Tier B (round 5): rows whose last green driver row was r01-r03
     #     (rotated past the window in r04), brought back for freshness ---
     "skip_boilerplate_filter": (q_skip_boilerplate_filter, SQL_SKIP_BOILERPLATE_FILTER),

@@ -82,3 +82,67 @@ def test_global_rank_matches_sorted_order(spark):
     # ranks are 1..n, dense, and agree with the global sort order
     assert sorted(r.rank for r in ranked) == list(range(1, 201))
     assert by_rank == want
+
+
+def _band_keys_python_spec(text: str) -> set:
+    """The pure-Python minhash band spec (the gate kernel's twin):
+    8 permutations = the four 8-hex-char slices of md5('0|'+s) and
+    md5('1|'+s) per word-3-gram shingle, banded 4x2."""
+    import hashlib
+
+    toks = re.split(r"\s+", (text or "").lower())
+    if len(toks) < 3:
+        return set()
+    shingles = set(" ".join(toks[i : i + 3]) for i in range(len(toks) - 2))
+    d0 = [hashlib.md5(f"0|{s}".encode()).hexdigest() for s in shingles]
+    d1 = [hashlib.md5(f"1|{s}".encode()).hexdigest() for s in shingles]
+    sig = [
+        min(d[8 * k : 8 * k + 8] for d in ds)
+        for ds in (d0, d1)
+        for k in range(4)
+    ]
+    return {(b, sig[2 * b] + sig[2 * b + 1]) for b in range(4)}
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs", "Zs", "Zl", "Zp", "Cc")
+            ),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_gate_duckdb_kernel_matches_python_spec(words):
+    """The gate's DuckDB-vectorized band kernel must agree with the
+    pure-Python spec on ARBITRARY token sequences — not just the fixed
+    fixtures of test_band_spec_matches_batch_minhash.  Exercises the
+    in-kernel SQL directly (no Spark session needed)."""
+    import duckdb
+    import pandas as pd
+
+    text = " ".join(w for w in words if w)
+    want = _band_keys_python_spec(text)
+
+    toks = re.split(r"\s+", text.lower())
+    if len(toks) < 3:
+        assert want == set()
+        return
+    shingles = sorted(set(" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)))
+    sh = pd.DataFrame({"rid": ["d"] * len(shingles), "s": shingles})  # noqa: F841
+    from newscrawl.dedupgate import BAND_SQL_TEMPLATE, N_MINHASH
+
+    con = duckdb.connect()
+    con.execute("SET threads=1")
+    got = {
+        (r[1], r[2])
+        for r in con.execute(
+            BAND_SQL_TEMPLATE.format(n_md5=N_MINHASH // 4, id_col="url")
+        ).fetchall()
+    }
+    assert got == want

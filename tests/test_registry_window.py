@@ -30,6 +30,8 @@ TIER_A_R5: list[str] = [
     "retention_cohorts",
     "nb_lang_classifier",
     "inverted_index",
+    "edit_distance_verify",
+    "lsh_index_stats",
 ]
 
 # Last green driver row r01-r03; rotated back in-window for freshness.
