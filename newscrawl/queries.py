@@ -578,7 +578,14 @@ WHERE inter / (na + nb - inter) >= {JACCARD_THRESHOLD}
 # persisted frame per (session, sf_dir), the same sharing pattern as
 # _KMEANS_CACHE.  Callers that bring their own docs frame manage their
 # own persistence.
-_SIG_CACHE: dict[tuple[int, str], object] = {}
+_SIG_CACHE: dict[tuple[str, str], object] = {}
+
+
+def _session_key(spark) -> str:
+    """Stable identity of a live session for DataFrame caches —
+    applicationId is unique per SparkContext, unlike id(spark), which
+    can collide with a dead session's address after GC."""
+    return spark.sparkContext.applicationId
 
 
 def _minhash_signatures(spark, sf_dir, docs=None):
@@ -634,7 +641,7 @@ def _minhash_signatures(spark, sf_dir, docs=None):
     ddl = "doc_id long, " + ", ".join(f"h{i} string" for i in range(N_MINHASH))
     if docs is not None:
         return docs.select("doc_id", "text").mapInPandas(kernel, schema=ddl)
-    key = (id(spark), sf_dir)
+    key = (_session_key(spark), sf_dir)
     cached = _SIG_CACHE.get(key)
     if cached is None:
         cached = (
@@ -4505,7 +4512,7 @@ def _bpe_words(spark, sf_dir, carry_word: bool = False):
 
 # bpe_train and bpe_encode share one training pass per (session, corpus)
 # — the same sharing pattern as _KMEANS_CACHE / _SIG_CACHE.
-_BPE_CACHE: dict[tuple[int, str, bool], tuple[list, object]] = {}
+_BPE_CACHE: dict[tuple[str, str, bool], tuple[list, object]] = {}
 
 
 def _bpe_train_vocab(spark, sf_dir, carry_word: bool = False):
@@ -4514,7 +4521,7 @@ def _bpe_train_vocab(spark, sf_dir, carry_word: bool = False):
     merges — the trained word -> segmentation mapping.  Cached per
     (session, corpus, carry_word); the final vocab stays persisted for
     reuse (vocabulary-sized)."""
-    key = (id(spark), sf_dir, carry_word)
+    key = (_session_key(spark), sf_dir, carry_word)
     if key in _BPE_CACHE:
         merges, cur = _BPE_CACHE[key]
         return list(merges), cur
