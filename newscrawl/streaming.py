@@ -52,11 +52,15 @@ def stream_crawl(
     free — a page arriving in a later micro-batch that near-duplicates
     any earlier batch's article is flagged (or dropped) against the
     persisted index, exactly-once under foreachBatch retries: each
-    wave's snapshot records its micro-batch epoch id (committed
-    atomically with the wave), and ``handle`` no-ops when the incoming
-    epoch is already committed — so a driver crash between the catalog
-    commit and the streaming checkpoint advance replays the batch into
-    a skip instead of a duplicate wave.
+    wave's snapshot records its (checkpoint lineage, micro-batch epoch)
+    marker committed atomically with the wave — the Delta
+    txnAppId+txnVersion pattern — and ``handle`` no-ops when the
+    incoming epoch is already committed FOR THIS LINEAGE.  So a driver
+    crash between the catalog commit and the streaming checkpoint
+    advance replays the batch into a skip instead of a duplicate wave,
+    while a restart with a fresh checkpoint (new lineage, epochs
+    re-numbered from 0) correctly reprocesses — new pages crawl, and
+    already-crawled pages are absorbed by the seen-set anti-join.
     """
     reader = spark.readStream.schema(PAGES)
     if max_files_per_trigger is not None:
@@ -65,15 +69,47 @@ def stream_crawl(
 
     n_waves = {"n": 0}
 
+    # Lineage identifier for the exactly-once marker (the Delta
+    # txnAppId+txnVersion pattern): foreachBatch epoch ids are only
+    # monotone within ONE checkpoint lineage.  A restart with a FRESH
+    # checkpoint over a source that gained files re-numbers batches
+    # from 0 — comparing raw epoch ids across lineages would silently
+    # skip genuinely new data in the first N micro-batches.  The
+    # lineage is the streaming QUERY ID Spark persists in the
+    # checkpoint's metadata file (same checkpoint -> same id across
+    # restarts, even if the directory is relocated; new checkpoint ->
+    # new id and a fresh epoch sequence), so the marker is
+    # (stream_lineage, stream_epoch) and a batch is skipped only when
+    # BOTH the lineage matches and the epoch was committed.
+    # Cross-lineage reprocessing of already-crawled pages is idempotent
+    # at the ARTICLE level via the seen-set anti-join (no duplicate
+    # articles/seen/band rows); it may commit empty waves, which is the
+    # correct price for never dropping new data.
+    ckpt_loc = os.path.join(checkpoint_dir, "stream")
+    _lineage_box: dict[str, str | None] = {"v": None}
+
+    def _lineage() -> str:
+        # read lazily: Spark writes <ckpt>/metadata at query start,
+        # which is before the first foreachBatch invocation
+        if _lineage_box["v"] is None:
+            import json
+
+            with open(os.path.join(ckpt_loc, "metadata")) as fh:
+                _lineage_box["v"] = str(json.load(fh)["id"])
+        return _lineage_box["v"]
+
     def _last_committed_epoch() -> int:
-        """Walk the snapshot chain back to the newest wave that carries
-        a stream_epoch marker (epochs are monotone, so the first hit is
-        the max). Bounded by the committed-but-unacknowledged window in
-        practice — normally the current snapshot answers immediately."""
+        """Walk the snapshot chain back to the newest wave whose
+        stream marker belongs to THIS lineage and return its epoch
+        (epochs are monotone per lineage, so the first matching hit is
+        the max). Markers from other lineages are skipped over —
+        normally the current snapshot answers immediately."""
+        lineage = _lineage()
         snap = catalog.current_snapshot()
         while snap is not None:
-            ep = (snap.get("metrics") or {}).get("stream_epoch")
-            if ep is not None:
+            m = snap.get("metrics") or {}
+            ep = m.get("stream_epoch")
+            if ep is not None and m.get("stream_lineage") == lineage:
                 return int(ep)
             parent = snap.get("parent_snapshot_id")
             snap = catalog.snapshot(parent) if parent is not None else None
@@ -84,9 +120,9 @@ def stream_crawl(
             return
         if int(epoch_id) <= _last_committed_epoch():
             # foreachBatch replay of a batch whose wave already
-            # committed (crash after catalog commit, before checkpoint
-            # advance) — reprocessing would duplicate articles/seen/
-            # band rows as a NEW wave
+            # committed in THIS checkpoint lineage (crash after catalog
+            # commit, before checkpoint advance) — reprocessing would
+            # duplicate articles/seen/band rows as a NEW wave
             return
         wave_index = catalog.last_wave_index() + 1
         run_wave(
@@ -99,7 +135,13 @@ def stream_crawl(
             scheduler=scheduler,
             webhook_key=webhook_key,
             dedup_gate=dedup_gate,
-            extra_metrics={"stream_epoch": int(epoch_id)},
+            extra_metrics={
+                "stream_epoch": int(epoch_id),
+                "stream_lineage": _lineage(),
+            },
+            # re-delivered files after a cross-lineage restart can put
+            # several captures of one url into a single micro-batch
+            dedup_captures=True,
         )
         n_waves["n"] += 1
 

@@ -146,9 +146,20 @@ def run_wave(
     dedup_gate: str | None = None,
     min_quality: float | None = None,
     extra_metrics: dict | None = None,
+    dedup_captures: bool = False,
 ) -> dict:
     """One crawl wave. ``enrich_fn`` swaps the deterministic classify
     stand-in for real model inference (see extract.make_extract_kernel).
+
+    ``dedup_captures``: the batch pages input carries a unique-url
+    contract (a capture table keyed by url), so the fetch join emits one
+    article per candidate with zero dedup cost. Streaming micro-batches
+    can break that contract — a cross-lineage restart re-delivers files,
+    so one batch may hold several captures of the same url. With
+    dedup_captures=True the wave keeps the LATEST capture per url
+    (max warc_ts, fingerprint tie-break), applied AFTER extraction so
+    the window shuffles only the wave-bounded extracted rows and the
+    raw html still never moves.
 
     ``min_quality`` withholds articles whose in-scan quality score falls
     below the threshold from the articles sink (a ``quality_flags``
@@ -287,6 +298,19 @@ def run_wave(
         ext_keyed = politeness.scaled_priority_key(ext_raw, host_state).drop("host")
     else:
         ext_keyed = priority.with_sort_key(ext_raw)
+    if dedup_captures:
+        # latest capture per url wins (see docstring); html is already
+        # consumed, so this windows over slim extracted rows only
+        from pyspark.sql.window import Window as _W
+
+        _cw = _W.partitionBy("url").orderBy(
+            F.col("warc_ts").desc(), F.col("fingerprint")
+        )
+        ext_keyed = (
+            ext_keyed.withColumn("_cap_rn", F.row_number().over(_cw))
+            .filter(F.col("_cap_rn") == 1)
+            .drop("_cap_rn")
+        )
     extracted = ext_keyed.withColumn(
         "url_hash", canonicalize.canonical_hash("url")
     ).withColumn(
@@ -359,13 +383,18 @@ def run_wave(
                 ),
                 prior_bands,
             )
+            # keep the handle wave_flags persisted: rebinding nd_flags
+            # below derives a NEW frame, and unpersisting the derived
+            # frame would be a no-op on the parent's cached relation
+            # (one leaked persisted DataFrame per gated wave)
+            _nd_flags_cached = nd_flags
             nd_flags = nd_flags.withColumn("wave_id", F.lit(wid))
             if dedup_gate == "drop":
                 articles = articles.join(
                     nd_flags.select("url"), "url", "left_anti"
                 )
         else:
-            nd_flags = nd_kept_bands = _nd_cached = None
+            nd_flags = nd_kept_bands = _nd_cached = _nd_flags_cached = None
 
         # quality sink gate (audit-trailed): below-threshold articles go
         # to quality_flags instead of the articles table
@@ -693,7 +722,7 @@ def run_wave(
             accel_rows = f_accel.result() if f_accel is not None else None
         if _nd_cached is not None:
             _nd_cached.unpersist()
-            nd_flags.unpersist()
+            _nd_flags_cached.unpersist()
         tick("parallel writes+stats")
 
         n_yielded = sum(r.n for r in stat_rows)

@@ -337,13 +337,19 @@ def test_stream_crawl_dedup_gate_across_micro_batches(spark, tmp_path):
     assert src_url in urls and dup_url not in urls
 
 
-def test_stream_crawl_replayed_epochs_are_skipped(spark, tmp_path):
-    """Exactly-once under foreachBatch replay: a second stream run over
-    the SAME pages and catalog but a FRESH checkpoint re-delivers every
-    micro-batch with its original epoch ids — each wave's snapshot
-    recorded its stream_epoch at commit, so the replays must no-op
-    (no new waves, byte-identical catalog state) instead of committing
-    duplicate articles/seen/band rows as new waves."""
+def test_stream_crawl_same_lineage_replay_is_skipped(spark, tmp_path):
+    """Exactly-once under foreachBatch replay WITHIN a checkpoint
+    lineage: simulate a driver crash between the catalog commit and the
+    streaming checkpoint advance by restarting from a COPY of the
+    checkpoint with the newest commit marker removed (same query-id
+    lineage — the id rides in the copied metadata file — and exactly
+    the on-disk state a crashed driver leaves behind). The restart
+    re-delivers that epoch with its original id, and the wave's
+    (lineage, epoch) snapshot marker turns the replay into a skip
+    (no new waves, byte-identical catalog state)."""
+    import os
+    import shutil
+
     cfg = synth.SynthConfig(n_seed=3, n_total=12, hot_links=False)
     pages = synth.build_pages_df(spark, cfg, num_partitions=4)
     pages_dir = str(tmp_path / "pages")
@@ -351,9 +357,9 @@ def test_stream_crawl_replayed_epochs_are_skipped(spark, tmp_path):
 
     catalog = ManifestParquetCatalog(str(tmp_path / "cat"))
     wave.init_crawl(spark, catalog, synth.build_seeds_df(spark, cfg))
+    ckpt = str(tmp_path / "ckpt")
     n1 = streaming.stream_crawl(
-        spark, catalog, pages_dir,
-        checkpoint_dir=str(tmp_path / "ckpt1"),
+        spark, catalog, pages_dir, checkpoint_dir=ckpt,
         max_files_per_trigger=2,
     )
     assert n1 >= 2
@@ -362,10 +368,27 @@ def test_stream_crawl_replayed_epochs_are_skipped(spark, tmp_path):
         (r.url, r.wave_id) for r in wave.read_articles(spark, catalog).collect()
     )
 
-    # fresh checkpoint = the stream source re-delivers epochs 0..n1-1
+    # crash simulation: the wave committed but the checkpoint did not
+    # advance — restart from a copy (fresh path keeps Spark's
+    # concurrent-use guard quiet) whose newest commits/<epoch> file is
+    # removed, so that micro-batch replays under the SAME lineage and
+    # epoch id
+    ckpt2 = str(tmp_path / "ckpt_replay")
+    shutil.copytree(ckpt, ckpt2)
+    commits_dir = os.path.join(ckpt2, "stream", "commits")
+    latest = max(
+        (f for f in os.listdir(commits_dir) if not f.startswith(".")),
+        key=lambda f: int(f),
+    )
+    os.remove(os.path.join(commits_dir, latest))
+    # the stale Hadoop checksum of the removed commit marker would make
+    # the restart's rewrite look like a concurrent writer
+    crc = os.path.join(commits_dir, f".{latest}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
     n2 = streaming.stream_crawl(
-        spark, catalog, pages_dir,
-        checkpoint_dir=str(tmp_path / "ckpt2"),
+        spark, catalog, pages_dir, checkpoint_dir=ckpt2,
         max_files_per_trigger=2,
     )
     assert n2 == 0
@@ -375,3 +398,45 @@ def test_stream_crawl_replayed_epochs_are_skipped(spark, tmp_path):
         (r.url, r.wave_id) for r in wave.read_articles(spark, catalog).collect()
     )
     assert arts_after == arts_before
+
+
+def test_stream_crawl_fresh_lineage_does_not_skip_new_work(spark, tmp_path):
+    """A FRESH checkpoint is a new lineage whose epoch ids restart at 0
+    — those ids must NOT be compared against another lineage's committed
+    epochs, or genuinely new work in the first micro-batches is silently
+    dropped. Scenario: run 1 (lineage A) crawls the seed pages and
+    queues children in the frontier; a new page file then arrives and
+    run 2 uses a fresh checkpoint (lineage B, epoch 0). The naive
+    cross-lineage guard would skip epoch 0 <= A's committed max and the
+    children would never crawl; the lineage-aware guard processes it.
+    Already-crawled urls are absorbed by the seen-set anti-join, so
+    articles stay duplicate-free."""
+    cfg = synth.SynthConfig(n_seed=3, n_total=12, hot_links=False)
+    pages = synth.build_pages_df(spark, cfg, num_partitions=1)
+    pages_dir = tmp_path / "pages"
+
+    catalog = ManifestParquetCatalog(str(tmp_path / "cat"))
+    wave.init_crawl(spark, catalog, synth.build_seeds_df(spark, cfg))
+    pages.coalesce(1).write.parquet(str(pages_dir / "batch1"))
+    n1 = streaming.stream_crawl(
+        spark, catalog, str(pages_dir / "*"),
+        checkpoint_dir=str(tmp_path / "ckpt1"),
+    )
+    assert n1 == 1
+    arts1 = wave.read_articles(spark, catalog).select("url").collect()
+    urls1 = {r.url for r in arts1}
+    assert len(arts1) == len(urls1)
+
+    # new arrival + fresh checkpoint: one micro-batch with epoch id 0
+    # carrying BOTH files; frontier still holds the children discovered
+    # in run 1, so this batch has genuinely new work
+    pages.coalesce(1).write.parquet(str(pages_dir / "batch2"))
+    n2 = streaming.stream_crawl(
+        spark, catalog, str(pages_dir / "*"),
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    assert n2 >= 1
+    arts2 = wave.read_articles(spark, catalog).select("url").collect()
+    urls2 = {r.url for r in arts2}
+    assert len(arts2) == len(urls2)  # seen-set absorbed the replayed pages
+    assert urls2 > urls1  # the children actually crawled
