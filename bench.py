@@ -290,13 +290,90 @@ def bench_extract_stage(spark, scale: int) -> dict:
     }
 
 
+LAST_RUN_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH", "last_run.json"
+)
+
+
+def save_last_run(res: dict) -> None:
+    """Persist this run's full result as the next run's comparison base.
+    The round-over-round delta machinery died silently in r4/r5 because
+    it depended on the DRIVER's parse of bench stdout ("parsed": null
+    when that parse fails, and "tail" front-truncates as the JSON line
+    grows) — bench.py now owns its comparison base end to end."""
+    os.makedirs(os.path.dirname(LAST_RUN_PATH), exist_ok=True)
+    with open(LAST_RUN_PATH, "w") as f:
+        json.dump(res, f, indent=1)
+        f.write("\n")
+
+
+def _parse_driver_artifact(path: str) -> dict | None:
+    """Best-effort payload from a driver-recorded BENCH_r{N}.json:
+    prefer its "parsed" field, else recover the last complete JSON
+    object from the raw "tail" stdout capture (line-oriented — bench
+    prints exactly one JSON object per line)."""
+    try:
+        with open(path) as f:
+            data = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+    parsed = data.get("parsed", data)
+    if isinstance(parsed, dict):
+        return parsed
+    tail = data.get("tail") or ""
+    for line in reversed(tail.splitlines()):
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            obj = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if isinstance(obj, dict) and ("queries" in obj or "crawl" in obj):
+            return obj
+    # the driver's tail keeps only the LAST ~2000 chars of a single
+    # long JSON line, so whole-line parsing fails exactly when the
+    # result grew large (r4/r5) — recover the balanced "key": {...}
+    # fragments that survived truncation instead
+    out = {}
+    import re as _re
+
+    for m in _re.finditer(r'"(\w+)":\s*(\{)', tail):
+        start = m.start(2)
+        depth = 0
+        for i in range(start, len(tail)):
+            if tail[i] == "{":
+                depth += 1
+            elif tail[i] == "}":
+                depth -= 1
+                if depth == 0:
+                    try:
+                        out[m.group(1)] = json.loads(tail[start : i + 1])
+                    except json.JSONDecodeError:
+                        pass
+                    break
+    if {"queries", "queries_median", "crawl"} & set(out):
+        return out
+    return None
+
+
 def load_prev_bench() -> tuple[str, dict] | None:
-    """Latest driver-recorded BENCH_r{N}.json (highest N) next to this
-    file, unwrapped to its parsed payload — the round-over-round
-    comparison base."""
+    """The round-over-round comparison base: bench.py's own
+    BENCH/last_run.json when present (self-owned, never truncated),
+    falling back to the latest driver-recorded BENCH_r{N}.json —
+    its parsed payload or, when the driver's parse failed, the last
+    complete JSON object recovered from the stdout tail."""
     import glob
     import re
 
+    if os.path.exists(LAST_RUN_PATH):
+        try:
+            with open(LAST_RUN_PATH) as f:
+                data = json.load(f)
+            if isinstance(data, dict):
+                return "BENCH/last_run.json", data
+        except (OSError, json.JSONDecodeError):
+            pass
     here = os.path.dirname(os.path.abspath(__file__))
     files = glob.glob(os.path.join(here, "BENCH_r*.json"))
     if not files:
@@ -304,13 +381,7 @@ def load_prev_bench() -> tuple[str, dict] | None:
     latest = max(
         files, key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1))
     )
-    try:
-        with open(latest) as f:
-            data = json.load(f)
-    except (OSError, json.JSONDecodeError):
-        return None
-    parsed = data.get("parsed", data)
-    return os.path.basename(latest), parsed if isinstance(parsed, dict) else None
+    return os.path.basename(latest), _parse_driver_artifact(latest)
 
 
 def delta_vs_prev(crawl: dict, qs: dict, qs_med: dict | None = None) -> dict | None:
@@ -427,6 +498,10 @@ def run_once(
             delta = delta_vs_prev(crawl, qs, qs_med)
             if delta:
                 res["delta_vs_prev"] = delta
+            # only FULL runs become the next run's comparison base —
+            # a --crawl-only/--extract-stage partial would poison the
+            # per-query delta chain with empty maps
+            save_last_run(res)
         return res
     finally:
         spark.stop()

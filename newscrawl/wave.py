@@ -227,9 +227,37 @@ def run_wave(
     # shard/bloom key = hash of the CANONICAL url (equivalent spellings
     # co-locate); membership equality stays exact on the raw url
     cands = cands.withColumn("url_hash", canonicalize.canonical_hash("url"))
+    # n_candidates rides the extract job as an observed metric instead
+    # of a dedicated count: the count was a standalone job whose fixed
+    # scheduling cost got WORSE with more cores (1.61 s @ 8 CPUs ->
+    # 2.30 s @ 32 in the r5 scaling residue) while the extract job
+    # traverses cands anyway (broadcast build of the kept candidates
+    # fills the cache and fires the observation — verified incl. the
+    # cached-frame + broadcast-subtree case).
+    from pyspark.sql import Observation
+
+    _cand_obs = Observation(f"n_candidates_{wid}")
+    cands = cands.observe(_cand_obs, F.count(F.lit(1)).alias("n"))
     cands.persist()
-    n_candidates = cands.count()
-    tick("dedup+count")
+    tick("dedup(plan)")
+
+    def _n_candidates() -> int:
+        # the extract materialization has executed the observed node by
+        # the time metrics are read; the bounded wait + counted fallback
+        # only guards a future re-ordering of the wave's jobs
+        import threading
+
+        box = {}
+
+        def _get():
+            box["v"] = _cand_obs.get
+
+        t = threading.Thread(target=_get, daemon=True)
+        t.start()
+        t.join(10.0)
+        if "v" in box:
+            return int(box["v"]["n"])
+        return cands.count()
 
     bloom = _load_bloom(spark, catalog) if use_bloom else None
     spill_rows = _load_spill_rows(spark, catalog) if use_bloom else []
@@ -510,20 +538,25 @@ def run_wave(
         # bytes/row taken from the catalog's manifest stats (all waves so
         # far) — so a 10x-bigger wave writes ~10x the files instead of a
         # constant count, and file sizes stay near the target at any wave
-        # size. First wave (no stats yet) falls back to cores//4.
+        # size. A delta smaller than one target file writes ONE file —
+        # the r5 scaling residue showed the frontier write taking 3.09 s
+        # at 32 CPUs for a 1.6 MB delta purely from multi-file task
+        # scheduling (and getting SLOWER with more cores); KB-to-MB
+        # state deltas have nothing to parallelize. First wave (no
+        # stats yet) estimates with a conservative bytes/row instead of
+        # a core-derived constant, for the same reason.
         _cores = spark.sparkContext.defaultParallelism
-        _fallback_w = max(2, _cores // 4)
+        _FALLBACK_BYTES_PER_ROW = 256
 
         def write_width(table: str, n_rows_est: int) -> int:
             st = catalog.table_stats(table)
             rows = st.get("rows", 0)
             nbytes = sum(f.get("bytes", 0) for f in st.get("files", []))
-            if not rows or not nbytes:
-                return _fallback_w
-            est_bytes = n_rows_est * (nbytes / rows)
+            bpr = (nbytes / rows) if rows and nbytes else _FALLBACK_BYTES_PER_ROW
+            est_bytes = n_rows_est * bpr
             import math
 
-            return min(max(2, math.ceil(est_bytes / _target_file_bytes())), _cores)
+            return min(max(1, math.ceil(est_bytes / _target_file_bytes())), _cores)
 
         def timed_write(table: str, df: DataFrame, mode: str) -> int:
             # NEWSCRAWL_TIMING: per-write wall time + bytes, the evidence
@@ -760,7 +793,7 @@ def run_wave(
         metrics = {
             "wave_id": wid,
             "n_frontier": n_frontier,
-            "n_candidates": n_candidates,
+            "n_candidates": _n_candidates(),
             "n_yielded": n_yielded,
             "n_skipped": n_skipped,
             "n_articles": n_articles,

@@ -80,3 +80,61 @@ def test_marker_drops_warmup_structurally():
 
 def test_no_marker_falls_back_to_positional():
     assert parse_wave_timing(WARMUP + REP)["extract(materialize)"] == 124.13
+
+
+def test_driver_artifact_fragment_recovery(tmp_path):
+    """The driver records bench stdout as ONE long JSON line whose tail
+    keeps only the last ~2000 chars ("parsed": null when its own parse
+    fails) — the comparison base must still be recoverable from the
+    surviving balanced fragments, or regression detection dies exactly
+    when the result grew large (the r4/r5 failure mode)."""
+    import json
+
+    from bench import _parse_driver_artifact
+
+    full = json.dumps(
+        {
+            # big enough that the head (incl. the "queries" opener) is
+            # truncated away, small enough that queries_median survives
+            "queries": {f"q{i}": 1.0 + i for i in range(200)},
+            "queries_median": {f"q{i}": 1.5 + i for i in range(30)},
+            "crawl": {"sec": 13.17, "sec_median": 15.8, "urls_per_sec": 7641.0},
+        }
+    )
+    art = tmp_path / "BENCH_r99.json"
+    art.write_text(
+        json.dumps({"parsed": None, "tail": full[-2000:], "rc": 0})
+    )
+    got = _parse_driver_artifact(str(art))
+    assert got is not None
+    assert got["crawl"]["urls_per_sec"] == 7641.0
+    # queries_median survives in the last 2000 chars of this payload
+    assert got["queries_median"]["q29"] == 30.5
+
+
+def test_driver_artifact_prefers_parsed(tmp_path):
+    import json
+
+    from bench import _parse_driver_artifact
+
+    art = tmp_path / "BENCH_r98.json"
+    art.write_text(
+        json.dumps({"parsed": {"crawl": {"sec": 1.0}}, "tail": "garbage"})
+    )
+    assert _parse_driver_artifact(str(art)) == {"crawl": {"sec": 1.0}}
+
+
+def test_last_run_roundtrip(tmp_path, monkeypatch):
+    """bench.py's self-owned artifact is preferred over any driver
+    recording as the delta base."""
+    import json
+
+    import bench
+
+    monkeypatch.setattr(
+        bench, "LAST_RUN_PATH", str(tmp_path / "last_run.json")
+    )
+    bench.save_last_run({"crawl": {"sec": 2.0}, "queries": {}})
+    name, data = bench.load_prev_bench()
+    assert name == "BENCH/last_run.json"
+    assert data["crawl"]["sec"] == 2.0

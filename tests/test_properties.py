@@ -146,3 +146,58 @@ def test_gate_duckdb_kernel_matches_python_spec(words):
         ).fetchall()
     }
     assert got == want
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=8),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_bpe_driver_loop_matches_naive_spec(words):
+    """The driver-resident BPE merge loop (queries._bpe_merge_loop — the
+    hot path since the r6 de-jobbing) must equal an independently coded
+    naive trainer on arbitrary word lists: same winning merges, same
+    final segmentations.  The naive spec re-implements pair counting
+    with zip() and merge application with a regex-free split/rebuild —
+    different code, same semantics (incl. the count-desc pair-asc
+    tie-break and the bounded chained-replace fixpoint)."""
+    from collections import Counter
+
+    from newscrawl.queries import (
+        BPE_FIX_PASSES,
+        N_BPE_MERGES,
+        _bpe_merge_loop,
+    )
+
+    freqs = Counter(words)
+    rows = [
+        (w, " " + " ".join(w) + " ", c) for w, c in sorted(freqs.items())
+    ]
+    merges, final_rows = _bpe_merge_loop(rows)
+
+    # naive spec
+    toks = {w: " " + " ".join(w) + " " for w in freqs}
+    exp_merges = []
+    for step in range(N_BPE_MERGES):
+        cnt = Counter()
+        for w, t in toks.items():
+            syms = t.split()
+            for a, b in zip(syms, syms[1:]):
+                cnt[f"{a} {b}"] += freqs[w]
+        if not cnt:
+            break
+        pair = sorted(cnt, key=lambda p: (-cnt[p], p))[0]
+        exp_merges.append((step, pair, cnt[pair]))
+        pat, rep = f" {pair} ", " " + pair.replace(" ", "") + " "
+        for w in toks:
+            t = toks[w]
+            for _ in range(BPE_FIX_PASSES):
+                if pat not in t:
+                    break
+                t = t.replace(pat, rep)
+            toks[w] = t
+    assert merges == exp_merges
+    assert {(w, t) for w, t, _c in final_rows} == set(toks.items())

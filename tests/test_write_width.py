@@ -43,16 +43,15 @@ def test_file_count_tracks_rows_written(spark, tmp_path, monkeypatch):
     assert files_by_wave[big] > files_by_wave[small], (rows_ix, files_by_wave)
 
 
-def test_write_width_clamps(spark, tmp_path, monkeypatch):
-    """Width never exceeds parallelism and never drops below 2, and the
-    first wave (no manifest stats) uses the cores//4 fallback."""
+def test_write_width_clamps_small_deltas_to_one_file(spark, tmp_path, monkeypatch):
+    """A delta smaller than one target file writes exactly ONE file —
+    EVERY wave, including wave 0 (no manifest stats yet, estimate from
+    the conservative bytes/row fallback). Multi-file writes of KB-scale
+    state deltas are pure task-scheduling overhead that gets WORSE with
+    more cores (the r5 inverse-scaling residue)."""
     monkeypatch.setenv("NEWSCRAWL_TARGET_FILE_MB", "1024")  # huge target
     cfg = synth.SynthConfig(n_seed=2, n_total=16, n_waves=2)
     cat = ManifestParquetCatalog(str(tmp_path / "c"))
     wave.run_crawl(spark, cat, cfg, n_waves=2)
-    cores = spark.sparkContext.defaultParallelism
     for i in (0, 1):
-        n = len(cat.files_added_by_wave("articles", i))
-        assert 1 <= n <= max(2, cores)
-    # with a 1 GiB target every estimate is far below one file -> min width 2
-    assert len(cat.files_added_by_wave("articles", 1)) == 2
+        assert len(cat.files_added_by_wave("articles", i)) == 1
