@@ -121,10 +121,39 @@ def band_rows(df: DataFrame, id_col: str = "url", text_col: str = "text") -> Dat
     )
 
 
+# Broadcast ceiling for the probe's wave-key set: ~80 bytes per
+# (band, key) row puts 10M distinct keys around 1 GB of driver/executor
+# broadcast — the practical limit.  At 4 band keys/article that bounds
+# the BROADCAST probe at wave sizes of ~2.5M articles; beyond it, pass
+# probe="bucketed" (or "auto", which counts) to switch to the
+# co-located band-index join below.
+GATE_BROADCAST_MAX_KEYS = 10_000_000
+
+
+def write_band_index_bucketed(
+    bands: DataFrame, table: str, n_buckets: int = 64
+) -> None:
+    """Materialize the persistent band index as a Spark table bucketed
+    by (band, key) — the storage layout the bucketed probe needs so the
+    10^10-row history joins co-located with ZERO Exchange (the
+    bucketing.py fetch-join pattern applied to the gate).  Appending a
+    wave's kept bands keeps the bucket spec."""
+    (
+        bands.write.bucketBy(n_buckets, "band", "key")
+        .sortBy("band", "key")
+        .mode("append")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def wave_flags(
     new_articles: DataFrame,
     prior_bands: DataFrame | None,
     sort_col: str = "sort_key",
+    probe: str = "broadcast",
+    bands_table: str | None = None,
+    n_buckets: int = 64,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Gate one wave's articles against the persistent index and against
     each other.  ``new_articles`` needs (url, text, sort_col).
@@ -140,12 +169,26 @@ def wave_flags(
     - kept_bands(url, band, key): band rows of the NON-flagged articles —
       what the caller appends to the index.
 
-    Plan shape at scale: bands_new is one wave (bounded) and broadcasts;
-    the prior index streams map-side through a BroadcastHashJoin
-    semi-filter — no Exchange, no aggregation touches the unmatched
-    history — and only the matched rows are shuffled/aggregated. The
-    same-wave check is a self-join of the broadcast-sized frame.
-    Nothing driver-side."""
+    Plan shape at scale (``probe="broadcast"``, the default): bands_new
+    is one wave (bounded) and broadcasts; the prior index streams
+    map-side through a BroadcastHashJoin semi-filter — no Exchange, no
+    aggregation touches the unmatched history — and only the matched
+    rows are shuffled/aggregated. The same-wave check is a self-join of
+    the broadcast-sized frame.  Nothing driver-side.
+
+    Broadcast bound: the wave's distinct (band, key) set must fit a
+    broadcast — GATE_BROADCAST_MAX_KEYS (~2.5M articles/wave at 4
+    keys each).  Beyond it, ``probe="bucketed"`` keeps the history
+    unshuffled a different way: maintain the index as a (band, key)-
+    bucketed Spark table (write_band_index_bucketed; pass its name as
+    ``bands_table``) and the semi-filter becomes a CO-LOCATED sort-merge
+    join — zero Exchange on the history side, plan-asserted by
+    tests/test_plans.py.  Without a bands_table the bucketed path
+    still produces identical flags but shuffles the prior frame once
+    (correct, not the scale plan).  ``probe="auto"`` counts the wave's
+    distinct keys (one job over the already-persisted band frame) and
+    picks; both paths are output-identical (hypothesis property +
+    equivalence tests, tests/test_dedupgate.py)."""
     bands_new = band_rows(new_articles).persist()
 
     # Fanout bound (the same k^2 hazard as the PageRank chunk self-join,
@@ -169,21 +212,60 @@ def wave_flags(
     # == min over the sharers of that key.
     if prior_bands is not None:
         new_keys = bands_new.select("band", "key").distinct()
-        matched_prior = prior_bands.select("url", "band", "key").join(
-            F.broadcast(new_keys), ["band", "key"]
-        )
+        mode = probe
+        if mode == "auto":
+            mode = (
+                "broadcast"
+                if new_keys.count() <= GATE_BROADCAST_MAX_KEYS
+                else "bucketed"
+            )
+        if mode == "broadcast":
+            prior = prior_bands.select("url", "band", "key")
+            matched_prior = prior.join(F.broadcast(new_keys), ["band", "key"])
+        elif mode == "bucketed":
+            # beyond the broadcast bound: write THIS WAVE's key set
+            # bucketed by (band, key); against a bands_table maintained
+            # with the same bucket spec the semi-filter plans as a
+            # co-located sort-merge join — the history side scans
+            # straight into the join, no Exchange
+            spark = bands_new.sparkSession
+            import hashlib as _hl
+
+            keys_table = (
+                "newscrawl_gate_keys_"
+                + _hl.md5(
+                    (bands_table or "adhoc").encode("utf-8")
+                ).hexdigest()[:10]
+            )
+            (
+                new_keys.write.bucketBy(n_buckets, "band", "key")
+                .sortBy("band", "key")
+                .mode("overwrite")
+                .format("parquet")
+                .saveAsTable(keys_table)
+            )
+            prior = (
+                spark.table(bands_table)
+                if bands_table is not None
+                else prior_bands
+            ).select("url", "band", "key")
+            matched_prior = prior.join(
+                spark.table(keys_table), ["band", "key"]
+            )
+        else:
+            raise ValueError(f"unknown probe mode {probe!r}")
         prior_keys = matched_prior.groupBy("band", "key").agg(
             F.min("url").alias("_purl")
         )
+        # join the (wave-key-bounded) prior representatives back to the
+        # wave's band rows: broadcast-sized in broadcast mode; in
+        # bucketed mode both sides are wave-bounded, so a plain
+        # shuffle join on (band, key) is the right plan
+        _new_side = bands_new.select(F.col("url").alias("_nurl"), "band", "key")
+        if mode == "broadcast":
+            _new_side = F.broadcast(_new_side)
         hits_prior = (
-            prior_keys.join(
-                F.broadcast(
-                    bands_new.select(
-                        F.col("url").alias("_nurl"), "band", "key"
-                    )
-                ),
-                ["band", "key"],
-            )
+            prior_keys.join(_new_side, ["band", "key"])
             .groupBy(F.col("_nurl").alias("url"))
             .agg(
                 F.min("_purl").alias("matched_url"),

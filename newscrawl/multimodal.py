@@ -2,21 +2,29 @@
 
 For a 100 TB training-data pipeline, image/audio/video live as opaque
 ``binary`` columns beside typed metadata, processed by Arrow-batched
-pandas UDFs over ``mapInPandas``. The image/audio codec libraries are
-NOT in this container, so the decode kernels are stubbed — clearly
-marked, raising NotImplementedError — while everything Spark-side
-(schemas, batch shapes, partitioning, UDF signatures, deterministic
-fallback features) is real and tested.
+pandas UDFs over ``mapInPandas``.
 
-Deterministic fallback "features": byte length, sha256 prefix, and
-hash-derived pseudo width/height — enough to exercise the full
-distributed path (scan -> mapInPandas -> explode/aggregate) without a
-codec.
+PNG decode is REAL: a pure stdlib-zlib + numpy decoder (below) handles
+8-bit gray/RGB/palette/alpha PNGs end to end — chunk walk, IDAT
+inflate, per-scanline unfilter (all five filter types), palette
+expansion — and emits true width/height/channels. Other codecs
+(JPEG/audio/video) need libraries NOT in this container, so those
+decode kernels are stubbed — clearly marked, raising
+NotImplementedError — while everything Spark-side (schemas, batch
+shapes, partitioning, UDF signatures, deterministic fallback features)
+is real and tested.
+
+Deterministic fallback "features" for undecodable payloads: byte
+length, sha256 prefix, and hash-derived pseudo width/height (channels
+= 0 marks them as pseudo) — enough to exercise the full distributed
+path (scan -> mapInPandas -> explode/aggregate) without a codec.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from typing import Iterator
 
 from pyspark.sql import DataFrame, functions as F
@@ -26,54 +34,185 @@ MEDIA_SCHEMA = (
 )
 
 FEATURE_COLUMNS = (
-    "n_bytes long, sha256_16 string, width int, height int, decode_ok boolean"
+    "n_bytes long, sha256_16 string, width int, height int, "
+    "channels int, decode_ok boolean"
 )
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/px
 
-def decode_image(payload: bytes) -> "object":
-    """STUB: real image decode requires PIL/cv2 (absent in this
-    container). The Spark plumbing around it is real; swap this body
+
+def decode_png(payload: bytes) -> "numpy.ndarray":  # noqa: F821
+    """Pure stdlib+numpy PNG decoder: returns a (height, width,
+    channels) uint8 array. Supports bit depth 8, color types 0 (gray),
+    2 (RGB), 3 (palette -> expanded to RGB), 4 (gray+alpha) and
+    6 (RGBA), non-interlaced — the shapes a synthetic training corpus
+    emits. Raises ValueError on a non-PNG payload and
+    NotImplementedError on the unsupported corners (16-bit, Adam7)."""
+    import numpy as np
+
+    data = bytes(payload)
+    if data[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(data):
+        (ln,), typ = struct.unpack(">I", data[pos : pos + 4]), data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + payload + crc
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", chunk)
+        elif typ == b"PLTE":
+            plte = chunk
+        elif typ == b"IDAT":
+            idat.append(chunk)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("truncated PNG (no IHDR/IDAT)")
+    w, h, depth, ctype, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace or ctype not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG depth={depth} ctype={ctype} interlace={interlace} unsupported"
+        )
+    nch = _PNG_CHANNELS[ctype]
+    stride = w * nch
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    if raw.size != h * (stride + 1):
+        raise ValueError("PNG scanline size mismatch")
+    raw = raw.reshape(h, stride + 1)
+    out = np.zeros((h, stride), np.int32)
+    bpp = nch  # bytes per pixel at depth 8
+    for y in range(h):
+        f, cur = int(raw[y, 0]), raw[y, 1:].astype(np.int32)
+        prev = out[y - 1] if y else np.zeros(stride, np.int32)
+        if f == 0:
+            rec = cur
+        elif f == 2:  # Up — vectorized (no left dependence)
+            rec = (cur + prev) & 0xFF
+        else:  # Sub / Average / Paeth carry a left dependence
+            rec = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                elif f == 4:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                else:
+                    raise ValueError(f"bad PNG filter {f}")
+                rec[x] = (cur[x] + pred) & 0xFF
+        out[y] = rec
+    px = out.astype(np.uint8).reshape(h, w, nch)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        palette = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        px = palette[px[:, :, 0]]
+    return px
+
+
+def encode_png(arr) -> bytes:
+    """Minimal PNG encoder (filter 0, depth 8, no interlace) for gray /
+    gray+alpha / RGB / RGBA uint8 arrays — the test-side counterpart of
+    decode_png and the generator for synthetic media corpora."""
+    import numpy as np
+
+    a = np.asarray(arr, np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body))
+        )
+
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_image(payload: bytes) -> "numpy.ndarray":  # noqa: F821
+    """Image decode: REAL for PNG (decode_png, pure stdlib+numpy);
+    JPEG/WebP/GIF would need PIL/cv2 (absent in this container) and
+    raise the clearly-marked NotImplementedError — swap the fallthrough
     for PIL.Image.open when the codec ships."""
-    raise NotImplementedError("image codec not available in this environment")
+    if payload is not None and bytes(payload)[:8] == PNG_MAGIC:
+        return decode_png(payload)
+    raise NotImplementedError(
+        "non-PNG image codecs not available in this environment"
+    )
 
 
 def decode_audio(payload: bytes) -> "object":
-    """STUB: see decode_image."""
+    """STUB: audio decode requires an audio codec library (absent in
+    this container); see decode_image for the swap point."""
     raise NotImplementedError("audio codec not available in this environment")
 
 
-def _fallback_features(payload: bytes | None) -> tuple[int, str, int, int, bool]:
+def _fallback_features(
+    payload: bytes | None,
+) -> tuple[int, str, int, int, int, bool]:
     if payload is None:
-        return 0, "", 0, 0, False
+        return 0, "", 0, 0, 0, False
     b = bytes(payload)
     sha = hashlib.sha256(b).hexdigest()
     # deterministic pseudo-dimensions from the content hash — a stand-in
-    # with the same column types a real decoder would produce
+    # with the same column types a real decoder would produce; channels=0
+    # marks the row as pseudo (a real decode always has >= 1)
     width = 64 + int(sha[:4], 16) % 1984
     height = 64 + int(sha[4:8], 16) % 1984
-    return len(b), sha[:16], width, height, True
+    return len(b), sha[:16], width, height, 0, True
 
 
 def extract_media_features(batch_iter: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
     """mapInPandas kernel: payload binary -> typed feature columns.
 
-    Tries the real decoder per media_type; on NotImplementedError falls
-    back to the deterministic feature extractor. Payload is dropped on
-    output (same never-move-raw-bytes rule as html extraction).
+    Tries the real decoder per media_type (PNG decodes for real; other
+    formats raise); on NotImplementedError/ValueError falls back to the
+    deterministic feature extractor. Payload is dropped on output (same
+    never-move-raw-bytes rule as html extraction).
     """
     for pdf in batch_iter:
         feats = []
         for payload, mtype in zip(pdf["payload"], pdf["media_type"]):
             try:
-                if mtype == "image":
-                    decode_image(payload)
-                elif mtype == "audio":
+                if mtype == "image" and payload is not None:
+                    px = decode_image(payload)
+                    b = bytes(payload)
+                    feats.append(
+                        (
+                            len(b),
+                            hashlib.sha256(b).hexdigest()[:16],
+                            int(px.shape[1]),
+                            int(px.shape[0]),
+                            int(px.shape[2]),
+                            True,
+                        )
+                    )
+                    continue
+                if mtype == "audio" and payload is not None:
                     decode_audio(payload)
-                feats.append(_fallback_features(payload))  # pragma: no cover
-            except NotImplementedError:
+                feats.append(_fallback_features(payload))
+            except (NotImplementedError, ValueError):
                 feats.append(_fallback_features(payload))
         out = pdf.drop(columns=["payload"]).reset_index(drop=True)
-        out[["n_bytes", "sha256_16", "width", "height", "decode_ok"]] = feats
+        out[
+            ["n_bytes", "sha256_16", "width", "height", "channels", "decode_ok"]
+        ] = feats
         yield out
 
 

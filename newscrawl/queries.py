@@ -770,7 +770,11 @@ def q_near_dup_clusters(spark, sf_dir, docs=None):
     bounded shuffle on doc_id (no driver materialization beyond the
     convergence counter). The DuckDB oracle computes the identical
     fixpoint with a recursive CTE."""
-    pairs = q_minhash_lsh_candidates(spark, sf_dir)
+    # docs MUST thread through to candidate generation — dropping it
+    # here silently clustered the default corpus for any caller that
+    # brought its own frame (latent until corpus_prepare_crawled, whose
+    # docs are crawled articles, not the sf documents table)
+    pairs = q_minhash_lsh_candidates(spark, sf_dir, docs=docs)
     edges = pairs.unionByName(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
@@ -4886,6 +4890,11 @@ def q_corpus_prepare(spark, sf_dir):
     window re-evaluates over the filtered set, so pack ids are dense
     over survivors.
 
+    The crawl-engine variant of this composite is
+    __spark_entry__._corpus_prepare_crawled: the same dedup-keep +
+    gate + packing shape over the crawled articles table, gating on the
+    crawl's own in-scan quality/n_tokens columns.
+
     The three branches share ONE persisted corpus scan (doc_id, lang,
     text) instead of re-scanning per branch — DataFrame branches don't
     share subplans, so without the persist the quality gates, the
@@ -5830,58 +5839,11 @@ SQL_LSH_INDEX_STATS = _SQL_LSH_STATS_TMP.format(ctes=_minhash_sql_ctes())
 # so at most 49 entries here land in the window — test_registry_window.py
 # asserts every Tier-A name is inside it.
 QUERIES = {
-    # --- Tier A (round 5): new operators registered this round, inside
-    #     the driver window until their first green row ---
-    "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
-    "lexical_diversity": (q_lexical_diversity, SQL_LEXICAL_DIVERSITY),
-    "pmi_cooccurrence": (q_pmi_cooccurrence, SQL_PMI_COOCCURRENCE),
-    "data_split": (q_data_split, SQL_DATA_SPLIT),
-    "srp_lsh_candidates": (q_srp_lsh_candidates, SQL_SRP_LSH_CANDIDATES),
-    "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
-    "srp_near_dup": (q_srp_near_dup, SQL_SRP_NEAR_DUP),
-    "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL_CONVERSION),
-    "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
-    "nb_lang_classifier": (q_nb_lang_classifier, SQL_NB_LANG_CLASSIFIER),
-    "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
-    "edit_distance_verify": (q_edit_distance_verify, SQL_EDIT_DISTANCE_VERIFY),
-    "lsh_index_stats": (q_lsh_index_stats, SQL_LSH_INDEX_STATS),
-    # --- Tier B (round 5): rows whose last green driver row was r01-r03
-    #     (rotated past the window in r04), brought back for freshness ---
-    "skip_boilerplate_filter": (q_skip_boilerplate_filter, SQL_SKIP_BOILERPLATE_FILTER),
-    "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
-    "sentiment_distribution": (q_sentiment_distribution, SQL_SENTIMENT_DISTRIBUTION),
-    "minhash_lsh_candidates": (q_minhash_lsh_candidates, SQL_MINHASH_LSH_CANDIDATES),
-    "simhash": (q_simhash, SQL_SIMHASH),
-    "knn_label_majority": (q_knn_label_majority, SQL_KNN_LABEL_MAJORITY),
-    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
-    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
-    "host_budget_gate": (q_host_budget_gate, SQL_HOST_BUDGET_GATE),
-    "entity_bucket": (q_entity_bucket, SQL_ENTITY_BUCKET),
-    "lang_id_stopword": (q_lang_id_stopword, SQL_LANG_ID_STOPWORD),
-    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
-    "token_count_bpe": (q_token_count_bpe, SQL_TOKEN_COUNT_BPE),
-    "source_distribution": (q_source_distribution, SQL_SOURCE_DISTRIBUTION),
-    "success_failure_counts": (q_success_failure_counts, SQL_SUCCESS_FAILURE_COUNTS),
-    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
-    "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
-    "sessionization": (q_sessionization, SQL_SESSIONIZATION),
-    "url_canonicalize": (q_url_canonicalize, SQL_URL_CANONICALIZE),
-    "min_content_filter": (q_min_content_filter, SQL_MIN_CONTENT_FILTER),
-    "regex_source_filter": (q_regex_source_filter, SQL_REGEX_SOURCE_FILTER),
-    "date_filter": (q_date_filter, SQL_DATE_FILTER),
-    "photo_credit": (q_photo_credit, SQL_PHOTO_CREDIT),
-    "url_functions": (q_url_functions, SQL_URL_FUNCTIONS),
-    "entity_normalize": (q_entity_normalize, SQL_ENTITY_NORMALIZE),
-    "clean_fingerprint": (q_clean_fingerprint, SQL_CLEAN_FINGERPRINT),
-    "group_collect": (q_group_collect, SQL_GROUP_COLLECT),
-    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
-    "alias_canonicalize": (q_alias_canonicalize, SQL_ALIAS_CANONICALIZE),
-    "sample_id_validation": (q_sample_id_validation, SQL_SAMPLE_ID_VALIDATION),
-    "binary_metadata": (q_binary_metadata, SQL_BINARY_METADATA),
-    "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
-    # --- Tier C (round 5): r04-green rows rotated past the 50-entry
-    #     driver window; still verified every CI run by
-    #     test_queries_oracle.py (the identical DuckDB comparison) ---
+    # --- Tier B (round 6): rows whose last green driver row is r04,
+    #     rotated back INSIDE the 50-entry driver window (the two
+    #     engine rows in __spark_entry__ take slots 1-2, so the first
+    #     48 entries here are in-window; 'frame_sample' spills and
+    #     rides pytest until r7) ---
     "knn_recall": (q_knn_recall, SQL_KNN_RECALL),
     "near_dup_clusters": (q_near_dup_clusters, SQL_NEAR_DUP_CLUSTERS),
     "windowed_counts": (q_windowed_counts, SQL_WINDOWED_COUNTS),
@@ -5937,4 +5899,53 @@ QUERIES = {
     "length_quantiles": (q_length_quantiles, SQL_LENGTH_QUANTILES),
     "chunk_dedup": (q_chunk_dedup, SQL_CHUNK_DEDUP),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
+    # --- Tier C (round 6): r05-green rows rotated past the driver
+    #     window; still verified every CI run by
+    #     test_queries_oracle.py (the identical DuckDB comparison) ---
+    "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "lexical_diversity": (q_lexical_diversity, SQL_LEXICAL_DIVERSITY),
+    "pmi_cooccurrence": (q_pmi_cooccurrence, SQL_PMI_COOCCURRENCE),
+    "data_split": (q_data_split, SQL_DATA_SPLIT),
+    "srp_lsh_candidates": (q_srp_lsh_candidates, SQL_SRP_LSH_CANDIDATES),
+    "bpe_encode": (q_bpe_encode, SQL_BPE_ENCODE),
+    "srp_near_dup": (q_srp_near_dup, SQL_SRP_NEAR_DUP),
+    "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL_CONVERSION),
+    "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
+    "nb_lang_classifier": (q_nb_lang_classifier, SQL_NB_LANG_CLASSIFIER),
+    "inverted_index": (q_inverted_index, SQL_INVERTED_INDEX),
+    "edit_distance_verify": (q_edit_distance_verify, SQL_EDIT_DISTANCE_VERIFY),
+    "lsh_index_stats": (q_lsh_index_stats, SQL_LSH_INDEX_STATS),
+    "skip_boilerplate_filter": (q_skip_boilerplate_filter, SQL_SKIP_BOILERPLATE_FILTER),
+    "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
+    "sentiment_distribution": (q_sentiment_distribution, SQL_SENTIMENT_DISTRIBUTION),
+    "minhash_lsh_candidates": (q_minhash_lsh_candidates, SQL_MINHASH_LSH_CANDIDATES),
+    "simhash": (q_simhash, SQL_SIMHASH),
+    "knn_label_majority": (q_knn_label_majority, SQL_KNN_LABEL_MAJORITY),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "host_budget_gate": (q_host_budget_gate, SQL_HOST_BUDGET_GATE),
+    "entity_bucket": (q_entity_bucket, SQL_ENTITY_BUCKET),
+    "lang_id_stopword": (q_lang_id_stopword, SQL_LANG_ID_STOPWORD),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "token_count_bpe": (q_token_count_bpe, SQL_TOKEN_COUNT_BPE),
+    "source_distribution": (q_source_distribution, SQL_SOURCE_DISTRIBUTION),
+    "success_failure_counts": (q_success_failure_counts, SQL_SUCCESS_FAILURE_COUNTS),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
+    "sessionization": (q_sessionization, SQL_SESSIONIZATION),
+    "url_canonicalize": (q_url_canonicalize, SQL_URL_CANONICALIZE),
+    "min_content_filter": (q_min_content_filter, SQL_MIN_CONTENT_FILTER),
+    "regex_source_filter": (q_regex_source_filter, SQL_REGEX_SOURCE_FILTER),
+    "date_filter": (q_date_filter, SQL_DATE_FILTER),
+    "photo_credit": (q_photo_credit, SQL_PHOTO_CREDIT),
+    "url_functions": (q_url_functions, SQL_URL_FUNCTIONS),
+    "entity_normalize": (q_entity_normalize, SQL_ENTITY_NORMALIZE),
+    "clean_fingerprint": (q_clean_fingerprint, SQL_CLEAN_FINGERPRINT),
+    "group_collect": (q_group_collect, SQL_GROUP_COLLECT),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "alias_canonicalize": (q_alias_canonicalize, SQL_ALIAS_CANONICALIZE),
+    "sample_id_validation": (q_sample_id_validation, SQL_SAMPLE_ID_VALIDATION),
+    "binary_metadata": (q_binary_metadata, SQL_BINARY_METADATA),
+    "json_extract": (q_json_extract, SQL_JSON_EXTRACT),
 }
+

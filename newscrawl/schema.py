@@ -122,6 +122,7 @@ MEDIA_FEATURES = T.StructType(
         T.StructField("sha256_16", T.StringType(), True),
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
         T.StructField("decode_ok", T.BooleanType(), True),
         T.StructField("target_width", T.IntegerType(), True),
         T.StructField("target_height", T.IntegerType(), True),

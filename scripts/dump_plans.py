@@ -302,6 +302,53 @@ def main() -> None:
         )
         cached.unpersist()
 
+    # past the broadcast bound (GATE_BROADCAST_MAX_KEYS ≈ 2.5M
+    # articles/wave): the bucketed co-located probe over a
+    # (band,key)-bucketed index table
+    spark.sql("DROP TABLE IF EXISTS newscrawl_plans_band_index")
+    dedupgate.write_band_index_bucketed(
+        spark.createDataFrame(
+            [(f"https://h/{i}", i % 4, f"k{i}", "w0000") for i in range(64)],
+            "url string, band int, key string, wave_id string",
+        ),
+        "newscrawl_plans_band_index",
+        n_buckets=8,
+    )
+    new2 = spark.createDataFrame(
+        [
+            ("https://h/n1", "alpha beta gamma delta " * 16, "a"),
+            ("https://h/n2", "epsilon zeta eta theta " * 16, "b"),
+        ],
+        "url string, text string, sort_key string",
+    )
+    flags2, _kept2, cached2 = dedupgate.wave_flags(
+        new2,
+        spark.table("newscrawl_plans_band_index"),
+        probe="bucketed",
+        bands_table="newscrawl_plans_band_index",
+        n_buckets=8,
+    )
+    sections.append(
+        (
+            "engine path: near-dup gate probe past the broadcast bound "
+            "(bucketed co-located band-index join)",
+            "The broadcast probe requires the wave's distinct (band, key) "
+            "set to fit a broadcast — GATE_BROADCAST_MAX_KEYS (10M keys "
+            "≈ 2.5M articles/wave at 4 band keys each). Beyond it, "
+            "probe=\"bucketed\" writes the wave's keys with the SAME "
+            "(band, key) bucket spec as the persistent index table "
+            "(dedupgate.write_band_index_bucketed) and the semi-filter "
+            "plans as the SortMergeJoin below with NO Exchange on the "
+            "history scan — co-located, the bucketing.py fetch-join "
+            "pattern. Both probe paths are output-identical "
+            "(test_dedupgate.py::test_bucketed_probe_matches_broadcast); "
+            "the co-location is asserted in test_plans.py::"
+            "test_dedup_gate_bucketed_probe_is_colocated.",
+            fmt(flags2),
+        )
+    )
+    cached2.unpersist()
+
     # static analysis sections (no plan dump needed — narrative + tables
     # maintained here so regeneration preserves them)
     sections.append(

@@ -298,3 +298,85 @@ def test_resume_with_gates_is_byte_identical(spark, tmp_path, wave_urls):
         return arts, flags, qflags, bands
 
     assert state(cat_a) == state(cat_b2)
+
+
+def _flags_set(flags_df):
+    return {
+        (r.url, r.matched_url, r.n_band_hits, r.scope)
+        for r in flags_df.collect()
+    }
+
+
+def test_bucketed_probe_matches_broadcast(spark, tmp_path, wave_urls):
+    """Beyond the broadcast bound (GATE_BROADCAST_MAX_KEYS) the probe
+    switches to a bucketed co-located band-index join — both paths must
+    produce IDENTICAL flags and kept bands, with and without a bucketed
+    bands_table backing the history side."""
+    from newscrawl import dedupgate
+
+    src_url, dup_url, doctored = wave_urls
+    # wave = every doctored page as one batch of articles; prior = the
+    # bands of a crawled first wave (so the dup matches a prior holder)
+    arts = doctored.select(
+        "url", "text", F.col("url").alias("sort_key")
+    )
+    prior = dedupgate.band_rows(
+        doctored.filter(F.col("url") == src_url).select("url", "text")
+    ).withColumn("wave_id", F.lit("w0000"))
+    prior_pd = prior.toPandas()
+    prior_df = spark.createDataFrame(prior_pd)
+
+    f_b, k_b, c_b = dedupgate.wave_flags(arts, prior_df, probe="broadcast")
+    want_flags, want_kept = _flags_set(f_b), {
+        (r.url, r.band, r.key) for r in k_b.collect()
+    }
+    c_b.unpersist()
+    f_b.unpersist()
+
+    # bucketed WITHOUT a bands_table (correctness fallback)
+    f_k, k_k, c_k = dedupgate.wave_flags(arts, prior_df, probe="bucketed")
+    assert _flags_set(f_k) == want_flags
+    assert {(r.url, r.band, r.key) for r in k_k.collect()} == want_kept
+    c_k.unpersist()
+    f_k.unpersist()
+
+    # bucketed WITH the index maintained as a (band,key)-bucketed table
+    spark.sql("DROP TABLE IF EXISTS newscrawl_test_band_index")
+    dedupgate.write_band_index_bucketed(
+        prior_df, "newscrawl_test_band_index", n_buckets=8
+    )
+    f_t, k_t, c_t = dedupgate.wave_flags(
+        arts,
+        prior_df,
+        probe="bucketed",
+        bands_table="newscrawl_test_band_index",
+        n_buckets=8,
+    )
+    assert _flags_set(f_t) == want_flags
+    assert {(r.url, r.band, r.key) for r in k_t.collect()} == want_kept
+    c_t.unpersist()
+    f_t.unpersist()
+    # the dup really is flagged against the prior index in every path
+    assert any(u == dup_url and s == "prior_wave" for u, _m, _n, s in want_flags)
+
+
+def test_auto_probe_picks_broadcast_below_bound(spark, wave_urls, monkeypatch):
+    """probe='auto' counts the wave's distinct keys: below the bound it
+    must take the broadcast path (same flags), above it the bucketed
+    path — exercised by shrinking the bound to 1."""
+    from newscrawl import dedupgate
+
+    src_url, dup_url, doctored = wave_urls
+    arts = doctored.select("url", "text", F.col("url").alias("sort_key"))
+    prior = dedupgate.band_rows(
+        doctored.filter(F.col("url") == src_url).select("url", "text")
+    ).withColumn("wave_id", F.lit("w0000"))
+
+    f_auto, _k, c = dedupgate.wave_flags(arts, prior, probe="auto")
+    want = _flags_set(f_auto)
+    c.unpersist(); f_auto.unpersist()
+
+    monkeypatch.setattr(dedupgate, "GATE_BROADCAST_MAX_KEYS", 1)
+    f_big, _k2, c2 = dedupgate.wave_flags(arts, prior, probe="auto")
+    assert _flags_set(f_big) == want
+    c2.unpersist(); f_big.unpersist()

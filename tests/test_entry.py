@@ -55,3 +55,52 @@ def test_golden_fixture_fresh_and_matches_driver_query(spark):
     for c in got.columns:
         a, b = list(got[c]), list(want[c])
         assert a == b, f"column {c} diverges: {a[:3]} vs {b[:3]}"
+
+
+def test_corpus_prepare_crawled_runs_and_gates_fire(spark):
+    """The crawl -> corpus-prepare composite: quality gate prunes part
+    of the crawled corpus (72 of 126 golden articles survive — not
+    all-pass, not all-fail) and packing assigns dense pack ids."""
+    df = e.queries()["corpus_prepare_crawled"](spark, "/root/testdata/sf0.01")
+    rows = df.collect()
+    assert df.columns == ["doc_id", "lang", "n_tokens", "pack_id", "offset_in_pack"]
+    assert 0 < len(rows) < 126  # the quality gate verifiably fires
+    packs = sorted({r.pack_id for r in rows})
+    assert packs == list(range(len(packs)))  # dense ids from 0
+
+
+def test_corpus_prepare_crawled_dedup_leg_is_live(spark):
+    """The dedup-keep stage keeps everything on the golden corpus (126
+    distinct texts) — prove the leg is LIVE: inject a near-duplicate of
+    a surviving article (higher doc_id, same text) and it must be
+    pruned while the original survives."""
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+    from newscrawl import wave
+
+    SF = "/root/testdata/sf0.01"
+    arts = wave.read_articles(spark, em._entry_catalog(spark))
+    docs = arts.select(
+        F.conv(F.substring(F.md5("url"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("lang_pred").alias("lang"),
+        "text",
+        "quality",
+        "n_tokens",
+    )
+    base = {r.doc_id for r in em._prepare_crawled_docs(spark, SF, docs).collect()}
+    donor = sorted(base)[0]
+    dup = docs.filter(F.col("doc_id") == donor).select(
+        (F.col("doc_id") + F.lit(1 << 61)).alias("doc_id"),
+        "lang", "text", "quality", "n_tokens",
+    )
+    out = {
+        r.doc_id
+        for r in em._prepare_crawled_docs(
+            spark, SF, docs.unionByName(dup)
+        ).collect()
+    }
+    assert donor in out  # canonical (smaller doc_id) survives
+    assert (donor + (1 << 61)) not in out  # injected near-dup pruned
+    assert out == base

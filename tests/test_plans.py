@@ -277,3 +277,41 @@ def test_srp_near_dup_no_cartesian(spark):
     plan = _plan(q_srp_near_dup(spark, "/root/testdata/sf0.01"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_gate_bucketed_probe_is_colocated(spark, tmp_path):
+    """Past the broadcast bound the probe's scale path is a bucketed
+    band-index join: with the history maintained as a (band, key)-
+    bucketed table and the wave's keys written with the same bucket
+    spec, the semi-filter plans as a sort-merge join whose HISTORY side
+    has NO Exchange between its scan and the join — co-located, the
+    bucketing.py fetch-join pattern."""
+    from newscrawl import dedupgate
+
+    spark.sql("DROP TABLE IF EXISTS newscrawl_plan_band_index")
+    prior = spark.createDataFrame(
+        [(f"https://h/{i}", i % 4, f"k{i}", "w0000") for i in range(100)],
+        "url string, band int, key string, wave_id string",
+    )
+    dedupgate.write_band_index_bucketed(
+        prior, "newscrawl_plan_band_index", n_buckets=8
+    )
+    new = spark.createDataFrame(
+        [("https://h/new1", "alpha beta gamma delta " * 16, "a"),
+         ("https://h/new2", "epsilon zeta eta theta " * 16, "b")],
+        "url string, text string, sort_key string",
+    )
+    flags, _kept, cached = dedupgate.wave_flags(
+        new,
+        spark.table("newscrawl_plan_band_index"),
+        probe="bucketed",
+        bands_table="newscrawl_plan_band_index",
+        n_buckets=8,
+    )
+    plan = _plan(flags)
+    assert "SortMergeJoin" in plan
+    path = _ancestors_to_first_join(plan, "newscrawl_plan_band_index")
+    assert not any(
+        "Exchange" in n or "HashAggregate" in n for n in path
+    ), f"history side shuffles before the co-located probe join: {path}\n{plan}"
+    cached.unpersist()

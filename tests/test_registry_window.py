@@ -1,9 +1,11 @@
 """Registry-order contract: the driver's correctness gate checks exactly the
 first 50 entries of ``__spark_entry__.queries()`` in dict insertion order
-(observed rounds 1-4).  Round-5 rotation (VERDICT r4 item 3): every row whose
-last green driver row was r01-r03 is back INSIDE the window; the 49 rows
-green in CORRECTNESS_r04 rotate out (still verified each CI run by
-test_queries_oracle.py's identical DuckDB comparison).
+(observed rounds 1-5).  Round-6 rotation (VERDICT r5 item 4): the 45 rows
+green in CORRECTNESS_r05 rotate OUT and the r04-green rows rotate back IN
+(oldest green first), alongside the new engine row corpus_prepare_crawled —
+so every query's last green driver row stays <= 2 rounds old.  Rotated-out
+rows are still verified each CI run by test_queries_oracle.py's identical
+DuckDB comparison.
 
 These tests pin the contract so a future insertion can't silently push an
 unverified-or-stale query past the cap (VERDICT r3 "What's wrong" #1; the
@@ -16,41 +18,19 @@ from newscrawl.queries import QUERIES
 
 DRIVER_WINDOW = 50
 
-# New this round (r5) — never driver-verified; must be in-window.
-TIER_A_R5: list[str] = [
-    "crawl_wave_articles",  # first green expected r05 (golden-fixture oracle)
-    "bm25_topk",
-    "lexical_diversity",
-    "pmi_cooccurrence",
-    "data_split",
-    "srp_lsh_candidates",
-    "bpe_encode",
-    "srp_near_dup",
-    "funnel_conversion",
-    "retention_cohorts",
-    "nb_lang_classifier",
-    "inverted_index",
-    "edit_distance_verify",
-    "lsh_index_stats",
+# New this round (r6) — never driver-verified; must be in-window.
+# crawl_wave_articles (r05-green) stays pinned first as the flagship
+# engine row: the end-to-end crawl should carry a fresh driver verdict
+# EVERY round.
+TIER_A_R6: list[str] = [
+    "crawl_wave_articles",
+    "corpus_prepare_crawled",  # first green expected r06 (golden-fixture oracle)
 ]
 
-# Last green driver row r01-r03; rotated back in-window for freshness.
-TIER_B_R5 = [
-    "skip_boilerplate_filter", "knn_cosine", "sentiment_distribution",
-    "minhash_lsh_candidates", "simhash", "knn_label_majority",
-    "ngram_jaccard_pairs", "dedup_exact", "host_budget_gate",
-    "entity_bucket", "lang_id_stopword", "quality_score",
-    "token_count_bpe", "source_distribution", "success_failure_counts",
-    "pricing_summary", "topk_per_group", "sessionization",
-    "url_canonicalize", "min_content_filter", "regex_source_filter",
-    "date_filter", "photo_credit", "url_functions", "entity_normalize",
-    "clean_fingerprint", "group_collect", "stratified_sample",
-    "alias_canonicalize", "sample_id_validation", "binary_metadata",
-    "json_extract",
-]
-
-# Green in CORRECTNESS_r04 — the only rows ALLOWED outside the window.
-R04_GREEN = [
+# Last green driver row r04 — rotated back in-window for freshness.
+# 48 of these 49 fit beside the two engine rows; the spill
+# (frame_sample, the youngest r04 row) rides pytest until r7.
+TIER_B_R6 = [
     "knn_recall", "near_dup_clusters", "windowed_counts", "asof_join",
     "minhash_jaccard_est", "pagerank_sources", "decontaminate",
     "decontaminate_table", "repetition_filter", "embedding_quantize",
@@ -65,7 +45,28 @@ R04_GREEN = [
     "topic_distribution", "summary_gate", "article_entities",
     "kmeans_step", "kmeans_train", "knn_ivf_trained",
     "knn_recall_trained", "tfidf_top_terms", "unigram_surprisal",
-    "length_quantiles", "chunk_dedup", "frame_sample",
+    "length_quantiles", "chunk_dedup",
+]
+
+TIER_B_SPILL = ["frame_sample"]  # r04-green, first entry past the window
+
+# Green in CORRECTNESS_r05 — allowed outside the window this round.
+R05_GREEN = [
+    "bm25_topk", "lexical_diversity", "pmi_cooccurrence", "data_split",
+    "srp_lsh_candidates", "bpe_encode", "srp_near_dup",
+    "funnel_conversion", "retention_cohorts", "nb_lang_classifier",
+    "inverted_index", "edit_distance_verify", "lsh_index_stats",
+    "skip_boilerplate_filter", "knn_cosine", "sentiment_distribution",
+    "minhash_lsh_candidates", "simhash", "knn_label_majority",
+    "ngram_jaccard_pairs", "dedup_exact", "host_budget_gate",
+    "entity_bucket", "lang_id_stopword", "quality_score",
+    "token_count_bpe", "source_distribution", "success_failure_counts",
+    "pricing_summary", "topk_per_group", "sessionization",
+    "url_canonicalize", "min_content_filter", "regex_source_filter",
+    "date_filter", "photo_credit", "url_functions", "entity_normalize",
+    "clean_fingerprint", "group_collect", "stratified_sample",
+    "alias_canonicalize", "sample_id_validation", "binary_metadata",
+    "json_extract",
 ]
 
 
@@ -73,7 +74,7 @@ def test_tier_a_and_b_inside_driver_window():
     names = list(entrymod.queries().keys())
     window = set(names[:DRIVER_WINDOW])
     missing = [
-        n for n in TIER_A_R5 + TIER_B_R5 if n in names and n not in window
+        n for n in TIER_A_R6 + TIER_B_R6 if n in names and n not in window
     ]
     assert not missing, (
         f"unverified/stale queries outside the first {DRIVER_WINDOW} "
@@ -81,42 +82,58 @@ def test_tier_a_and_b_inside_driver_window():
     )
 
 
-def test_outside_window_is_exactly_r04_green_tail():
+def test_outside_window_is_exactly_recently_green_tail():
     """The complement of the window may contain ONLY rows with a green
-    r04 driver row — any registry edit that evicts a Tier A/B row fails
-    here, not silently in the next CORRECTNESS report."""
+    r05 driver row (plus the single declared r04 spill) — any registry
+    edit that evicts a Tier A/B row fails here, not silently in the
+    next CORRECTNESS report."""
     names = list(entrymod.queries().keys())
     outside = names[DRIVER_WINDOW:]
-    not_allowed = [n for n in outside if n not in R04_GREEN]
+    allowed = set(R05_GREEN) | set(TIER_B_SPILL)
+    not_allowed = [n for n in outside if n not in allowed]
     assert not not_allowed, (
-        f"rows without a fresh (r04) green driver row were pushed "
+        f"rows without a fresh green driver row were pushed "
         f"outside the window: {not_allowed}"
     )
+    assert set(outside) == allowed  # exactly the complement
 
 
 def test_tier_lists_cover_registry_exactly():
     """Every registered query is classified in exactly one tier list, so
     adding a query without placing it in this contract fails CI."""
     names = set(entrymod.queries().keys())
-    classified = set(TIER_A_R5) | set(TIER_B_R5) | set(R04_GREEN)
+    classified = (
+        set(TIER_A_R6) | set(TIER_B_R6) | set(TIER_B_SPILL) | set(R05_GREEN)
+    )
     assert names == classified, (
         f"unclassified: {names - classified}; stale: {classified - names}"
     )
-    assert len(TIER_A_R5) + len(TIER_B_R5) + len(R04_GREEN) == len(names)
+    assert (
+        len(TIER_A_R6) + len(TIER_B_R6) + len(TIER_B_SPILL) + len(R05_GREEN)
+        == len(names)
+    )
 
 
 def test_crawl_wave_articles_is_first():
     assert next(iter(entrymod.queries())) == "crawl_wave_articles"
 
 
+def test_engine_rows_lead_the_window():
+    names = list(entrymod.queries().keys())
+    assert names[:2] == ["crawl_wave_articles", "corpus_prepare_crawled"]
+
+
 def test_oracle_coverage_matches_registry():
     qs = entrymod.queries()
     sqls = entrymod.oracle_sql()
-    # EVERY registered query now has a DuckDB oracle (crawl_wave_articles
+    # EVERY registered query has a DuckDB oracle (the two engine rows
     # via the committed golden fixture) ...
     assert set(sqls) == set(qs)
     # ... and every QUERIES entry is parameterized in
-    # test_queries_oracle.py (which iterates QUERIES itself), while
-    # crawl_wave_articles is driven by test_entry.py — together the full
+    # test_queries_oracle.py (which iterates QUERIES itself), while the
+    # engine rows are driven by test_entry.py — together the full
     # registry is locally re-verified every CI run.
-    assert set(qs) == set(QUERIES) | {"crawl_wave_articles"}
+    assert set(qs) == set(QUERIES) | {
+        "crawl_wave_articles",
+        "corpus_prepare_crawled",
+    }

@@ -169,10 +169,10 @@ def test_all_options_integration(spark, tmp_path):
     for s in wave.read_seen(spark, catalog).collect():
         assert (s.url, s.processed_wave) in media_keys
     for r in media_rows:
-        n, sha, w, h, ok = _fallback_features(html_by_url[r.url])
-        assert (r.n_bytes, r.sha256_16, r.width, r.height, r.decode_ok) == (
-            n, sha, w, h, ok,
-        )
+        n, sha, w, h, ch, ok = _fallback_features(html_by_url[r.url])
+        assert (
+            r.n_bytes, r.sha256_16, r.width, r.height, r.channels, r.decode_ok,
+        ) == (n, sha, w, h, ch, ok)
         scale = 256 / max(w, h) if max(w, h) > 256 else 1.0
         assert (r.target_width, r.target_height, r.needs_resize) == (
             math.floor(w * scale), math.floor(h * scale), scale < 1.0,
