@@ -130,6 +130,24 @@ def band_rows(df: DataFrame, id_col: str = "url", text_col: str = "text") -> Dat
 GATE_BROADCAST_MAX_KEYS = 10_000_000
 
 
+def _clear_orphan_table_dir(spark, table: str) -> None:
+    """A warehouse directory surviving from a previous session while the
+    (in-memory) metastore forgot the table makes saveAsTable fail with
+    LOCATION_ALREADY_EXISTS — an orphan dir is never valid data for a
+    table the catalog doesn't know, so remove it."""
+    if spark.catalog.tableExists(table):
+        return
+    import os
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for prefix in ("file://", "file:"):
+        if wh.startswith(prefix):
+            wh = wh[len(prefix):]
+            break
+    shutil.rmtree(os.path.join(wh, table.lower()), ignore_errors=True)
+
+
 def write_band_index_bucketed(
     bands: DataFrame, table: str, n_buckets: int = 64
 ) -> None:
@@ -138,6 +156,7 @@ def write_band_index_bucketed(
     10^10-row history joins co-located with ZERO Exchange (the
     bucketing.py fetch-join pattern applied to the gate).  Appending a
     wave's kept bands keeps the bucket spec."""
+    _clear_orphan_table_dir(bands.sparkSession, table)
     (
         bands.write.bucketBy(n_buckets, "band", "key")
         .sortBy("band", "key")
@@ -237,6 +256,7 @@ def wave_flags(
                     (bands_table or "adhoc").encode("utf-8")
                 ).hexdigest()[:10]
             )
+            _clear_orphan_table_dir(spark, keys_table)
             (
                 new_keys.write.bucketBy(n_buckets, "band", "key")
                 .sortBy("band", "key")
