@@ -4913,7 +4913,13 @@ def q_corpus_prepare(spark, sf_dir):
     kept_q = q_quality_prune_pipeline(spark, sf_dir, docs=shared).filter(
         F.col("keep") == 1
     ).select("doc_id", "n_tokens")
-    kept_d = q_minhash_dedup_keep(spark, sf_dir, docs=shared).filter(
+    # the dedup leg deliberately takes the DEFAULT corpus path, not
+    # docs=shared: its cost is the signature kernel, and the default
+    # path hits the per-session _SIG_CACHE (one persisted signature
+    # frame reused by every minhash-family query this session), whereas
+    # a docs= frame recomputes signatures per call (2.4 s -> 4.0 s
+    # measured when the r6 docs-threading fix briefly rerouted it)
+    kept_d = q_minhash_dedup_keep(spark, sf_dir).filter(
         F.col("kept") == 1
     ).select("doc_id")
     docs = shared.select("doc_id", "lang")

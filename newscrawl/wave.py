@@ -558,6 +558,20 @@ def run_wave(
 
             return min(max(1, math.ceil(est_bytes / _target_file_bytes())), _cores)
 
+        def narrowed(df: DataFrame, width: int) -> DataFrame:
+            # HOW to narrow matters as much as the width: coalesce(w)
+            # collapses the whole UPSTREAM computation to w tasks (a
+            # 1-file frontier write would derive carry+children on one
+            # core — the serialization measured at 1.2-1.6 s/wave),
+            # while repartition keeps the derivation wide and shuffles
+            # only the KB-to-MB delta into w write tasks. Use the
+            # shuffle when narrowing far below the core count; coalesce
+            # when the write is wide anyway (no shuffle of big bytes —
+            # the articles write at scale).
+            if width < _cores // 2:
+                return df.repartition(width)
+            return df.coalesce(width)
+
         def timed_write(table: str, df: DataFrame, mode: str) -> int:
             # NEWSCRAWL_TIMING: per-write wall time + bytes, the evidence
             # behind the commit-residue decomposition in BENCH/BASELINE.md
@@ -597,25 +611,26 @@ def run_wave(
             f_frontier = pool.submit(
                 timed_write,
                 "frontier",
-                new_frontier.coalesce(
+                narrowed(
+                    new_frontier,
                     write_width(
                         "frontier",
                         catalog.table_stats("frontier").get("rows", 0)
                         or n_extracted,
-                    )
+                    ),
                 ),
                 "overwrite",
             )
             f_seen = pool.submit(
                 timed_write,
                 "seen",
-                seen_delta.coalesce(write_width("seen", n_extracted)),
+                narrowed(seen_delta, write_width("seen", n_extracted)),
                 "append",
             )
             f_articles = pool.submit(
                 timed_write,
                 "articles",
-                articles.coalesce(write_width("articles", n_extracted)),
+                narrowed(articles, write_width("articles", n_extracted)),
                 "append",
             )
             f_stats = pool.submit(timed_job, "stats", compute_stats)
@@ -624,8 +639,9 @@ def run_wave(
                 pool.submit(
                     timed_write,
                     "webhook_payloads",
-                    webhook.signed_payloads(articles, webhook_key).coalesce(
-                        write_width("webhook_payloads", n_extracted)
+                    narrowed(
+                        webhook.signed_payloads(articles, webhook_key),
+                        write_width("webhook_payloads", n_extracted),
                     ),
                     "append",
                 )
@@ -664,12 +680,13 @@ def run_wave(
                 f_hosts = pool.submit(
                     timed_write,
                     "host_state",
-                    new_state.coalesce(
+                    narrowed(
+                        new_state,
                         write_width(
                             "host_state",
                             catalog.table_stats("host_state").get("rows", 0)
                             or n_extracted,
-                        )
+                        ),
                     ),
                     "overwrite",
                 )
@@ -681,7 +698,7 @@ def run_wave(
                     "media_features",
                     multimodal.page_media_features(fetched, media_max_side)
                     .withColumn("wave_id", F.lit(wid))
-                    .coalesce(write_width("media_features", n_extracted)),
+                    .transform(lambda d: narrowed(d, write_width("media_features", n_extracted))),
                     "append",
                 )
                 if media_sink
@@ -691,7 +708,7 @@ def run_wave(
                 pool.submit(
                     timed_write,
                     "near_dup_flags",
-                    nd_flags.coalesce(2),
+                    narrowed(nd_flags, 2),
                     "append",
                 )
                 if nd_flags is not None
@@ -699,7 +716,7 @@ def run_wave(
             )
             f_q_flags = (
                 pool.submit(
-                    timed_write, "quality_flags", q_flags.coalesce(2), "append"
+                    timed_write, "quality_flags", narrowed(q_flags, 2), "append"
                 )
                 if q_flags is not None
                 else None
@@ -710,10 +727,14 @@ def run_wave(
                     "minhash_bands",
                     nd_kept_bands.select("url", "band", "key")
                     .withColumn("wave_id", F.lit(wid))
-                    .coalesce(
-                        write_width(
-                            "minhash_bands",
-                            n_extracted * (dedupgate.N_BANDS if dedup_gate else 1),
+                    .transform(
+                        lambda d: narrowed(
+                            d,
+                            write_width(
+                                "minhash_bands",
+                                n_extracted
+                                * (dedupgate.N_BANDS if dedup_gate else 1),
+                            ),
                         )
                     ),
                     "append",
