@@ -547,8 +547,26 @@ def run_wave(
         # a core-derived constant, for the same reason.
         _cores = spark.sparkContext.defaultParallelism
         _FALLBACK_BYTES_PER_ROW = 256
+        # width derives from the MINIMUM acceptable file size, not the
+        # target: the write is zstd-compression-bound, so subject to
+        # "no file smaller than ~16 MB" it should use as MANY cores as
+        # possible (a 1.27 GB articles delta on 2-10 of 32 cores leaves
+        # most compressors idle — measured 25 s vs ~4 s full-width).
+        # Files land between 16 MB and ~1 GB; compact() bin-packs them
+        # toward the target later. Also the safety margin for the bytes
+        # ESTIMATE: bytes/row observed on a tiny seed wave ran 5x under
+        # the big-wave reality, and a min-size divisor over-widens
+        # gracefully where a target-size divisor serialized the write.
+        _MIN_FILE_BYTES = 16 << 20
+        # deltas at or below this may SHUFFLE into their write tasks
+        # (repartition keeps the upstream derivation wide); anything
+        # bigger must coalesce — repartitioning GB-scale article text
+        # re-copies the whole data plane (measured: the 32-CPU articles
+        # write went 6.9 s -> 40.8 s when it briefly took the
+        # repartition path).
+        _SMALL_DELTA_BYTES = 64 << 20
 
-        def write_width(table: str, n_rows_est: int) -> int:
+        def write_plan(table: str, n_rows_est: int) -> tuple:
             st = catalog.table_stats(table)
             rows = st.get("rows", 0)
             nbytes = sum(f.get("bytes", 0) for f in st.get("files", []))
@@ -556,21 +574,36 @@ def run_wave(
             est_bytes = n_rows_est * bpr
             import math
 
-            return min(max(1, math.ceil(est_bytes / _target_file_bytes())), _cores)
+            # honor an explicitly-small NEWSCRAWL_TARGET_FILE_MB (tests
+            # and tiny-state tables); otherwise divide by the min size
+            divisor = min(_target_file_bytes(), _MIN_FILE_BYTES)
+            width = min(max(1, math.ceil(est_bytes / divisor)), _cores)
+            return width, est_bytes
 
-        def narrowed(df: DataFrame, width: int) -> DataFrame:
+        def narrowed(
+            df: DataFrame, width: int, est_bytes: float | None = None
+        ) -> DataFrame:
             # HOW to narrow matters as much as the width: coalesce(w)
             # collapses the whole UPSTREAM computation to w tasks (a
             # 1-file frontier write would derive carry+children on one
             # core — the serialization measured at 1.2-1.6 s/wave),
             # while repartition keeps the derivation wide and shuffles
-            # only the KB-to-MB delta into w write tasks. Use the
-            # shuffle when narrowing far below the core count; coalesce
-            # when the write is wide anyway (no shuffle of big bytes —
-            # the articles write at scale).
-            if width < _cores // 2:
+            # only the KB-to-MB delta into w write tasks. The shuffle is
+            # ONLY for provably small deltas: big frames always coalesce
+            # (no shuffle of big bytes — the articles write at scale).
+            if (
+                est_bytes is not None
+                and est_bytes <= _SMALL_DELTA_BYTES
+                and width < _cores // 2
+            ):
                 return df.repartition(width)
             return df.coalesce(width)
+
+        def write_narrowed(
+            table: str, df: DataFrame, n_rows_est: int
+        ) -> DataFrame:
+            width, est_bytes = write_plan(table, n_rows_est)
+            return narrowed(df, width, est_bytes)
 
         def timed_write(table: str, df: DataFrame, mode: str) -> int:
             # NEWSCRAWL_TIMING: per-write wall time + bytes, the evidence
@@ -611,26 +644,24 @@ def run_wave(
             f_frontier = pool.submit(
                 timed_write,
                 "frontier",
-                narrowed(
+                write_narrowed(
+                    "frontier",
                     new_frontier,
-                    write_width(
-                        "frontier",
-                        catalog.table_stats("frontier").get("rows", 0)
-                        or n_extracted,
-                    ),
+                    catalog.table_stats("frontier").get("rows", 0)
+                    or n_extracted,
                 ),
                 "overwrite",
             )
             f_seen = pool.submit(
                 timed_write,
                 "seen",
-                narrowed(seen_delta, write_width("seen", n_extracted)),
+                write_narrowed("seen", seen_delta, n_extracted),
                 "append",
             )
             f_articles = pool.submit(
                 timed_write,
                 "articles",
-                narrowed(articles, write_width("articles", n_extracted)),
+                write_narrowed("articles", articles, n_extracted),
                 "append",
             )
             f_stats = pool.submit(timed_job, "stats", compute_stats)
@@ -639,9 +670,10 @@ def run_wave(
                 pool.submit(
                     timed_write,
                     "webhook_payloads",
-                    narrowed(
+                    write_narrowed(
+                        "webhook_payloads",
                         webhook.signed_payloads(articles, webhook_key),
-                        write_width("webhook_payloads", n_extracted),
+                        n_extracted,
                     ),
                     "append",
                 )
@@ -680,13 +712,11 @@ def run_wave(
                 f_hosts = pool.submit(
                     timed_write,
                     "host_state",
-                    narrowed(
+                    write_narrowed(
+                        "host_state",
                         new_state,
-                        write_width(
-                            "host_state",
-                            catalog.table_stats("host_state").get("rows", 0)
-                            or n_extracted,
-                        ),
+                        catalog.table_stats("host_state").get("rows", 0)
+                        or n_extracted,
                     ),
                     "overwrite",
                 )
@@ -698,7 +728,11 @@ def run_wave(
                     "media_features",
                     multimodal.page_media_features(fetched, media_max_side)
                     .withColumn("wave_id", F.lit(wid))
-                    .transform(lambda d: narrowed(d, write_width("media_features", n_extracted))),
+                    .transform(
+                        lambda d: write_narrowed(
+                            "media_features", d, n_extracted
+                        )
+                    ),
                     "append",
                 )
                 if media_sink
@@ -728,13 +762,11 @@ def run_wave(
                     nd_kept_bands.select("url", "band", "key")
                     .withColumn("wave_id", F.lit(wid))
                     .transform(
-                        lambda d: narrowed(
+                        lambda d: write_narrowed(
+                            "minhash_bands",
                             d,
-                            write_width(
-                                "minhash_bands",
-                                n_extracted
-                                * (dedupgate.N_BANDS if dedup_gate else 1),
-                            ),
+                            n_extracted
+                            * (dedupgate.N_BANDS if dedup_gate else 1),
                         )
                     ),
                     "append",
