@@ -7,12 +7,14 @@ pandas UDFs over ``mapInPandas``.
 PNG decode is REAL: a pure stdlib-zlib + numpy decoder (below) handles
 8-bit gray/RGB/palette/alpha PNGs end to end — chunk walk, IDAT
 inflate, per-scanline unfilter (all five filter types), palette
-expansion — and emits true width/height/channels. Other codecs
-(JPEG/audio/video) need libraries NOT in this container, so those
-decode kernels are stubbed — clearly marked, raising
-NotImplementedError — while everything Spark-side (schemas, batch
-shapes, partitioning, UDF signatures, deterministic fallback features)
-is real and tested.
+expansion — and emits true width/height/channels. WAV decode is REAL
+too: a pure stdlib-struct + numpy RIFF parser covering PCM
+8/16/24/32-bit and IEEE float — true sample_rate / n_samples /
+channels. The remaining codecs (JPEG/WebP, mp3/ogg/flac, video) need
+libraries NOT in this container, so those decode kernels are stubbed —
+clearly marked, raising NotImplementedError — while everything
+Spark-side (schemas, batch shapes, partitioning, UDF signatures,
+deterministic fallback features) is real and tested.
 
 Deterministic fallback "features" for undecodable payloads: byte
 length, sha256 prefix, and hash-derived pseudo width/height (channels
@@ -35,7 +37,7 @@ MEDIA_SCHEMA = (
 
 FEATURE_COLUMNS = (
     "n_bytes long, sha256_16 string, width int, height int, "
-    "channels int, decode_ok boolean"
+    "channels int, decode_ok boolean, sample_rate int, n_samples long"
 )
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -157,17 +159,102 @@ def decode_image(payload: bytes) -> "numpy.ndarray":  # noqa: F821
     )
 
 
-def decode_audio(payload: bytes) -> "object":
-    """STUB: audio decode requires an audio codec library (absent in
-    this container); see decode_image for the swap point."""
-    raise NotImplementedError("audio codec not available in this environment")
+_WAV_FMT_PCM, _WAV_FMT_FLOAT, _WAV_FMT_EXTENSIBLE = 1, 3, 0xFFFE
 
 
-def _fallback_features(
-    payload: bytes | None,
-) -> tuple[int, str, int, int, int, bool]:
+def decode_wav(payload: bytes) -> tuple:
+    """Pure stdlib+numpy WAV (RIFF PCM) decoder: returns
+    ``(samples, sample_rate)`` with samples shaped (n_frames,
+    n_channels) as float32 in [-1, 1]. Supports PCM 8 (unsigned),
+    16/24/32-bit signed, and IEEE float32/float64 — everything an
+    uncompressed training corpus carries. Raises ValueError on a
+    non-WAV payload and NotImplementedError on compressed formats
+    (mp3-in-wav, ADPCM, ...)."""
+    import numpy as np
+
+    data = bytes(payload)
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, fmt, raw = 12, None, None
+    while pos + 8 <= len(data):
+        typ, (ln,) = data[pos : pos + 4], struct.unpack(
+            "<I", data[pos + 4 : pos + 8]
+        )
+        body = data[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+        if typ == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif typ == b"data":
+            raw = body
+    if fmt is None or raw is None:
+        raise ValueError("truncated WAV (no fmt /data chunk)")
+    code, nch, rate, _byps, _align, bits = fmt
+    if code == _WAV_FMT_EXTENSIBLE:
+        raise NotImplementedError("WAVE_FORMAT_EXTENSIBLE unsupported")
+    if code not in (_WAV_FMT_PCM, _WAV_FMT_FLOAT) or nch < 1:
+        raise NotImplementedError(f"compressed WAV format {code} unsupported")
+    if code == _WAV_FMT_FLOAT:
+        dt = {32: "<f4", 64: "<f8"}.get(bits)
+        if dt is None:
+            raise NotImplementedError(f"float WAV bits={bits} unsupported")
+        x = np.frombuffer(raw[: len(raw) - len(raw) % (nch * bits // 8)], dt)
+        x = x.astype(np.float32)
+    elif bits == 8:  # 8-bit PCM is UNSIGNED per the RIFF spec
+        x = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif bits in (16, 32):
+        dt = {16: "<i2", 32: "<i4"}[bits]
+        x = np.frombuffer(raw[: len(raw) - len(raw) % (nch * bits // 8)], dt)
+        x = x.astype(np.float32) / float(1 << (bits - 1))
+    elif bits == 24:  # no 3-byte dtype: widen via a zeroed low byte
+        b = np.frombuffer(raw[: len(raw) - len(raw) % (nch * 3)], np.uint8)
+        quads = np.zeros((b.size // 3, 4), np.uint8)
+        quads[:, 1:] = b.reshape(-1, 3)  # little-endian: pad LOW byte
+        x = quads.view("<i4").ravel().astype(np.float32) / float(1 << 31)
+    else:
+        raise NotImplementedError(f"PCM WAV bits={bits} unsupported")
+    return x.reshape(-1, nch), int(rate)
+
+
+def encode_wav(samples, sample_rate: int) -> bytes:
+    """Minimal 16-bit PCM WAV encoder for float samples in [-1, 1] —
+    the test-side counterpart of decode_wav and the generator for
+    synthetic audio corpora. Accepts (n,) or (n, channels) arrays."""
+    import numpy as np
+
+    a = np.asarray(samples, np.float32)
+    if a.ndim == 1:
+        a = a[:, None]
+    nch = a.shape[1]
+    pcm = np.clip(np.round(a * 32767.0), -32768, 32767).astype("<i2")
+    raw = pcm.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", _WAV_FMT_PCM, nch, sample_rate, sample_rate * nch * 2,
+        nch * 2, 16,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(raw)) + raw
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_audio(payload: bytes) -> tuple:
+    """Audio decode: REAL for WAV/RIFF-PCM (decode_wav, pure
+    stdlib+numpy); compressed codecs (mp3/ogg/flac) would need a
+    library absent in this container and raise the clearly-marked
+    NotImplementedError — swap the fallthrough for soundfile/librosa
+    when the codec ships."""
+    if payload is not None and bytes(payload)[:4] == b"RIFF":
+        return decode_wav(payload)
+    raise NotImplementedError(
+        "compressed audio codecs not available in this environment"
+    )
+
+
+def _fallback_features(payload: bytes | None) -> tuple:
     if payload is None:
-        return 0, "", 0, 0, 0, False
+        return 0, "", 0, 0, 0, False, 0, 0
     b = bytes(payload)
     sha = hashlib.sha256(b).hexdigest()
     # deterministic pseudo-dimensions from the content hash — a stand-in
@@ -175,16 +262,16 @@ def _fallback_features(
     # marks the row as pseudo (a real decode always has >= 1)
     width = 64 + int(sha[:4], 16) % 1984
     height = 64 + int(sha[4:8], 16) % 1984
-    return len(b), sha[:16], width, height, 0, True
+    return len(b), sha[:16], width, height, 0, True, 0, 0
 
 
 def extract_media_features(batch_iter: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
     """mapInPandas kernel: payload binary -> typed feature columns.
 
-    Tries the real decoder per media_type (PNG decodes for real; other
-    formats raise); on NotImplementedError/ValueError falls back to the
-    deterministic feature extractor. Payload is dropped on output (same
-    never-move-raw-bytes rule as html extraction).
+    Tries the real decoder per media_type (PNG and WAV decode for
+    real; other formats raise); on NotImplementedError/ValueError falls
+    back to the deterministic feature extractor. Payload is dropped on
+    output (same never-move-raw-bytes rule as html extraction).
     """
     for pdf in batch_iter:
         feats = []
@@ -201,17 +288,42 @@ def extract_media_features(batch_iter: Iterator["pandas.DataFrame"]) -> Iterator
                             int(px.shape[0]),
                             int(px.shape[2]),
                             True,
+                            0,
+                            0,
                         )
                     )
                     continue
                 if mtype == "audio" and payload is not None:
-                    decode_audio(payload)
+                    samples, rate = decode_audio(payload)
+                    b = bytes(payload)
+                    feats.append(
+                        (
+                            len(b),
+                            hashlib.sha256(b).hexdigest()[:16],
+                            0,
+                            0,
+                            int(samples.shape[1]),
+                            True,
+                            int(rate),
+                            int(samples.shape[0]),
+                        )
+                    )
+                    continue
                 feats.append(_fallback_features(payload))
             except (NotImplementedError, ValueError):
                 feats.append(_fallback_features(payload))
         out = pdf.drop(columns=["payload"]).reset_index(drop=True)
         out[
-            ["n_bytes", "sha256_16", "width", "height", "channels", "decode_ok"]
+            [
+                "n_bytes",
+                "sha256_16",
+                "width",
+                "height",
+                "channels",
+                "decode_ok",
+                "sample_rate",
+                "n_samples",
+            ]
         ] = feats
         yield out
 

@@ -454,20 +454,28 @@ def run_wave(
         children = priority.child_frontier(yielded).select(*FRONTIER_COLS)
         new_frontier = carry.unionByName(children)
 
-        # one pass fills the cache (scan -> extract -> join), so the
-        # parallel jobs below all read from memory
-        n_extracted = extracted.count()
-        tick("extract(materialize)")
         if _nd_cached is not None:
-            # materialize the wave's band frame AND the flag decisions
-            # ONCE before the parallel write pool: near_dup_flags and
+            # gate path: one pass fills the extract cache, then the
+            # wave's band frame AND the flag decisions materialize ONCE
+            # before the parallel write pool: near_dup_flags and
             # minhash_bands both derive from them, and two concurrent
             # jobs racing an unfilled cache each recompute the
-            # (md5-heavy) band kernel and the probe joins
+            # (md5-heavy) band kernel and the probe joins (articles
+            # depends on the flags in drop mode, so no fusion here)
+            n_extracted = extracted.count()
+            tick("extract(materialize)")
             _nd_cached.count()
             tick("dedup_gate(bands materialize)")
             nd_flags.count()
             tick("dedup_gate(flags materialize)")
+        else:
+            # no gate: the articles WRITE below is the action that
+            # materializes the extract cache — extract CPU and sink IO
+            # overlap inside one job instead of serializing (a real
+            # cluster's sink streams from the extract stage; it never
+            # materializes-then-rewrites). n_extracted is read off the
+            # filled cache right after.
+            n_extracted = -1  # set after the fused write
 
         # metrics (A1-A3 analogs) in ONE aggregation job over the persisted
         # wave output: per-source yielded counts (count-desc, first-seen
@@ -636,6 +644,23 @@ def run_wave(
                 )
             return out
 
+        _fused_articles = n_extracted < 0
+        if _fused_articles:
+            # THE data-plane fusion: this write traverses (and fills)
+            # the extract cache, so extract CPU and articles sink IO
+            # run in ONE job — the 10+ s/wave the articles write spent
+            # as serial residue now overlaps the extract stage. Width =
+            # every core (coalesce must not narrow the extract
+            # computation it carries; files stay >= 16 MB whenever the
+            # wave has >= 2 min-files of data, and compact() bin-packs
+            # later). Never repartition here — that would shuffle the
+            # whole data plane.
+            _w_plan, _est_art = write_plan("articles", n_frontier)
+            _w_art = _cores if _est_art >= 2 * _MIN_FILE_BYTES else _w_plan
+            timed_write("articles", articles.coalesce(_w_art), "append")
+            tick("extract+articles(fused)")
+            n_extracted = extracted.count()  # cache is filled: cheap
+
         with ThreadPoolExecutor(max_workers=8) as pool:
             # row estimates: append tables are bounded by this wave's
             # extract output; overwrite tables by their own previous size
@@ -658,11 +683,15 @@ def run_wave(
                 write_narrowed("seen", seen_delta, n_extracted),
                 "append",
             )
-            f_articles = pool.submit(
-                timed_write,
-                "articles",
-                write_narrowed("articles", articles, n_extracted),
-                "append",
+            f_articles = (
+                pool.submit(
+                    timed_write,
+                    "articles",
+                    write_narrowed("articles", articles, n_extracted),
+                    "append",
+                )
+                if not _fused_articles
+                else None
             )
             f_stats = pool.submit(timed_job, "stats", compute_stats)
             f_dims = pool.submit(timed_job, "dims", compute_dims)
@@ -790,7 +819,8 @@ def run_wave(
             )
             n_frontier_next = f_frontier.result()
             f_seen.result()
-            f_articles.result()
+            if f_articles is not None:
+                f_articles.result()
             stat_rows = f_stats.result()
             dim_rows = f_dims.result()
             if f_webhook is not None:

@@ -240,3 +240,77 @@ def test_page_media_features_decodes_png_url(spark):
     assert (png_row.target_width, png_row.target_height) == (128, 32)
     page_row = out["https://bbc.example.com/news/story-1"]
     assert page_row.media_type == "page" and page_row.channels == 0
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    """decode_wav is a REAL codec: encode -> decode roundtrips samples
+    (within 16-bit quantization) and recovers rate/channels/length."""
+    import numpy as np
+
+    t = np.linspace(0, 1, 8000, endpoint=False)
+    mono = 0.5 * np.sin(2 * np.pi * 440 * t)
+    stereo = np.stack([mono, 0.25 * np.sin(2 * np.pi * 880 * t)], axis=1)
+    for sig, nch in ((mono, 1), (stereo, 2)):
+        samples, rate = mm.decode_wav(mm.encode_wav(sig, 8000))
+        assert rate == 8000
+        assert samples.shape == (8000, nch)
+        ref = sig.reshape(8000, nch)
+        assert float(abs(samples - ref).max()) < 1.0 / 32000
+
+
+def test_wav_bit_depths_and_float():
+    """Hand-built fmt/data chunks for every supported sample format."""
+    import struct as st
+
+    import numpy as np
+
+    def wav(code, bits, raw, nch=1, rate=4000):
+        fmt = st.pack("<HHIIHH", code, nch, rate, rate * nch * bits // 8,
+                      nch * bits // 8, bits)
+        body = (b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+                + b"data" + st.pack("<I", len(raw)) + raw)
+        return b"RIFF" + st.pack("<I", len(body)) + body
+
+    # 8-bit unsigned: 128 is zero, 255 ~ +1, 0 = -1
+    s, r = mm.decode_wav(wav(1, 8, bytes([128, 255, 0])))
+    assert r == 4000 and s.shape == (3, 1)
+    assert abs(s[0, 0]) < 0.01 and s[1, 0] > 0.98 and s[2, 0] == -1.0
+    # 24-bit signed little-endian: 0x400000 = +0.5
+    s, _ = mm.decode_wav(wav(1, 24, b"\x00\x00\x40" + b"\x00\x00\xc0"))
+    assert abs(s[0, 0] - 0.5) < 1e-6 and abs(s[1, 0] + 0.5) < 1e-6
+    # 32-bit signed
+    s, _ = mm.decode_wav(wav(1, 32, st.pack("<i", 1 << 30)))
+    assert abs(s[0, 0] - 0.5) < 1e-9
+    # IEEE float32 passthrough
+    s, _ = mm.decode_wav(wav(3, 32, st.pack("<f", -0.625)))
+    assert s[0, 0] == np.float32(-0.625)
+    # compressed (mp3-in-wav, code 0x55) raises the declared stub error
+    import pytest as _pt
+
+    with _pt.raises(NotImplementedError):
+        mm.decode_wav(wav(0x55, 16, b"\x00\x00"))
+    with _pt.raises(ValueError):
+        mm.decode_wav(b"RIFF\x00\x00\x00\x00JUNK")
+
+
+def test_media_features_real_wav_and_resize_noop(spark):
+    """A .wav payload decodes for real in the distributed kernel: true
+    sample_rate/n_samples/channels, width=height=0, and the resize plan
+    is a no-op for audio rows."""
+    import numpy as np
+
+    sig = np.zeros((2000, 2), dtype=np.float32)
+    rows = [
+        (1, bytearray(mm.encode_wav(sig, 16000)), "audio"),
+        (2, b"RIFFfakeaudio" * 50, "audio"),  # RIFF but not WAVE -> fallback
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in mm.with_resize_plan(
+        mm.media_features(df), max_side=128).collect()}
+    wav_row = out[1]
+    assert (wav_row.sample_rate, wav_row.n_samples, wav_row.channels) == (
+        16000, 2000, 2)
+    assert wav_row.decode_ok and (wav_row.width, wav_row.height) == (0, 0)
+    assert not wav_row.needs_resize
+    fb = out[2]
+    assert fb.channels == 0 and (fb.sample_rate, fb.n_samples) == (0, 0)

@@ -169,7 +169,7 @@ def test_all_options_integration(spark, tmp_path):
     for s in wave.read_seen(spark, catalog).collect():
         assert (s.url, s.processed_wave) in media_keys
     for r in media_rows:
-        n, sha, w, h, ch, ok = _fallback_features(html_by_url[r.url])
+        n, sha, w, h, ch, ok, _sr, _ns = _fallback_features(html_by_url[r.url])
         assert (
             r.n_bytes, r.sha256_16, r.width, r.height, r.channels, r.decode_ok,
         ) == (n, sha, w, h, ch, ok)

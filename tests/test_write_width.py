@@ -13,12 +13,18 @@ from newscrawl.storage import ManifestParquetCatalog
 
 
 def test_file_count_tracks_rows_written(spark, tmp_path, monkeypatch):
-    # tiny target (24 KiB) so wave-size differences show up at test scale
+    # The rows -> bytes-estimate -> file-count contract is pinned on
+    # webhook_payloads: it still sizes its width POST-extract from
+    # n_extracted x manifest bytes/row. (The articles table is exempt
+    # since the r6 fusion: its write runs INSIDE the extract job, so
+    # its width is a PRE-execution estimate from the frontier size —
+    # a streaming sink cannot know its output size beforehand.)
+    # tiny target (4 KiB) so wave-size differences show up at test scale
     # without both waves clamping at the cores ceiling
-    monkeypatch.setenv("NEWSCRAWL_TARGET_FILE_MB", "0.024")
+    monkeypatch.setenv("NEWSCRAWL_TARGET_FILE_MB", "0.004")
     cfg = synth.SynthConfig(n_seed=2, n_total=40, n_waves=3)
     cat = ManifestParquetCatalog(str(tmp_path / "w"))
-    wave.run_crawl(spark, cat, cfg, n_waves=3)
+    wave.run_crawl(spark, cat, cfg, n_waves=3, webhook_key=b"k")
 
     arts = wave.read_articles(spark, cat)
     rows_by_wave = {
@@ -27,7 +33,8 @@ def test_file_count_tracks_rows_written(spark, tmp_path, monkeypatch):
     }
     waves = sorted(rows_by_wave)
     files_by_wave = {
-        i: len(cat.files_added_by_wave("articles", i)) for i in range(len(waves))
+        i: len(cat.files_added_by_wave("webhook_payloads", i))
+        for i in range(len(waves))
     }
     # wave 0 has no stats -> fallback width; waves 1+ derive from stats.
     # Among the stats-driven waves, a >=2x-bigger wave must write more
