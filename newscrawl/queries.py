@@ -5829,6 +5829,338 @@ FROM buckets GROUP BY band
 SQL_LSH_INDEX_STATS = _SQL_LSH_STATS_TMP.format(ctes=_minhash_sql_ctes())
 
 
+# --- PII redaction (round 6) ----------------------------------------------
+
+# The synthetic corpus carries no PII, so the query first builds the
+# raw-page fixture deterministically from doc_id (both engines share the
+# construction — the decontaminate doc_id%29 precedent): ~1/3 of docs
+# gain an email, ~1/4 an IPv4, ~1/5 a phone number.  The detector is the
+# real operator: pattern counts + in-place redaction, all map-side.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+1-\d{3}-\d{3}-\d{4}"
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrub pass over the corpus — the pre-training redaction step
+    every web-text pipeline runs (emails / IPv4s / phone numbers):
+    per-doc match counts and the fingerprint of the redacted text.
+    Zero shuffle: regex counting and chained redaction ride the scan
+    (JVM regexp, no Python); at 100 TB this is scan-bound.  Reference
+    analog: the extract stage's cleaner is the only text-rewrite site
+    (ingest/utils.py clean step); redaction composes the same way."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit(" from host 10."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(".0."),
+                (F.col("doc_id") % 250).cast("string"),
+                F.lit(" logged"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(
+                F.lit(" call +1-555-"),
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                F.lit("-0199"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, PII_EMAIL_RE, "<EMAIL>"),
+            PII_IP_RE,
+            "<IP>",
+        ),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return (
+        docs.select(
+            "doc_id",
+            aug.alias("_aug"),
+            red.alias("_red"),
+        )
+        .select(
+            "doc_id",
+            F.regexp_count(F.col("_aug"), F.lit(PII_EMAIL_RE)).alias("n_email"),
+            F.regexp_count(F.col("_aug"), F.lit(PII_IP_RE)).alias("n_ip"),
+            F.regexp_count(F.col("_aug"), F.lit(PII_PHONE_RE)).alias("n_phone"),
+            F.md5(F.encode(F.col("_red"), "utf-8")).alias("redacted_fp"),
+        )
+        .withColumn(
+            "pii_total", (F.col("n_email") + F.col("n_ip") + F.col("n_phone"))
+        )
+    )
+
+
+SQL_PII_REDACT = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@mail.example.com now' ELSE '' END
+         || CASE WHEN doc_id % 4 = 1
+                 THEN ' from host 10.' || CAST(doc_id % 200 AS VARCHAR)
+                      || '.0.' || CAST(doc_id % 250 AS VARCHAR) || ' logged'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 2
+                 THEN ' call +1-555-'
+                      || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                      || '-0199' ELSE '' END AS a
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(a, '{PII_EMAIL_RE}')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(a, '{PII_IP_RE}')) AS INT) AS n_ip,
+       CAST(len(regexp_extract_all(a, '{PII_PHONE_RE}')) AS INT) AS n_phone,
+       md5(regexp_replace(regexp_replace(regexp_replace(
+           a, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{PII_IP_RE}', '<IP>', 'g'),
+           '{PII_PHONE_RE}', '<PHONE>', 'g')) AS redacted_fp,
+       CAST(len(regexp_extract_all(a, '{PII_EMAIL_RE}'))
+          + len(regexp_extract_all(a, '{PII_IP_RE}'))
+          + len(regexp_extract_all(a, '{PII_PHONE_RE}')) AS INT) AS pii_total
+FROM aug
+"""
+
+
+# --- C4-style line-level cleaning (round 6) --------------------------------
+
+# Five deterministic page-line slots rebuilt from (doc_id, text) — nav
+# chrome, the lead sentence (terminal '.' on even ids), an occasional
+# cookie banner, the body remainder, a 'Read more.' stub — then C4's
+# line rules: >= 5 words, terminal punctuation, no boilerplate phrase.
+C4_MIN_WORDS = 5
+C4_BOILER = ("cookie", "subscribe", "read more")
+
+
+def _c4_line_exprs_spark(docs):
+    toks = F.split(F.col("text"), " ")
+    lines = [
+        F.lit("Home | News | Sports"),
+        F.concat(
+            F.array_join(F.slice(toks, 1, 12), " "),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(".")).otherwise(F.lit("")),
+        ),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit("We use cookies to improve your experience."),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.size(toks) > 12,
+            F.concat(F.array_join(F.slice(toks, 13, 100000), " "), F.lit(".")),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 3 == 1, F.lit("Read more.")).otherwise(
+            F.lit("")
+        ),
+    ]
+    return lines
+
+
+def q_c4_line_filter(spark, sf_dir):
+    """C4-style line-level page cleaning (Raffel et al. 2020 §2.2): drop
+    lines with < 5 words, without terminal punctuation, or containing a
+    boilerplate phrase; keep the doc if >= 2 lines survive.  The whole
+    operator is per-row column arithmetic over 5 fixed line slots — no
+    explode, no shuffle; at 100 TB it is pure map over the page scan.
+    Outputs the per-rule drop counts (the audit trail, as in
+    q_quality_prune_pipeline) and the kept-text fingerprint."""
+    docs = _t(spark, sf_dir, "documents")
+    lines = _c4_line_exprs_spark(docs)
+
+    def wc(l):
+        return F.when(l == "", F.lit(0)).otherwise(F.size(F.split(l, " ")))
+
+    def boiler(l):
+        low = F.lower(l)
+        e = F.lit(False)
+        for p in C4_BOILER:
+            e = e | low.contains(p)
+        return e
+
+    def keep(l):
+        return (
+            (wc(l) >= C4_MIN_WORDS)
+            & (F.substring(l, -1, 1) == ".")
+            & ~boiler(l)
+        )
+
+    nonempty = [F.when(l != "", 1).otherwise(0) for l in lines]
+    kept = [F.when(keep(l), 1).otherwise(0) for l in lines]
+    short = [
+        F.when((l != "") & (wc(l) < C4_MIN_WORDS), 1).otherwise(0)
+        for l in lines
+    ]
+    nopunct = [
+        F.when(
+            (wc(l) >= C4_MIN_WORDS) & (F.substring(l, -1, 1) != "."), 1
+        ).otherwise(0)
+        for l in lines
+    ]
+    boil = [
+        F.when(
+            (wc(l) >= C4_MIN_WORDS)
+            & (F.substring(l, -1, 1) == ".")
+            & boiler(l),
+            1,
+        ).otherwise(0)
+        for l in lines
+    ]
+    kept_text = F.concat_ws(
+        "\n", *[F.when(keep(l), l).otherwise(F.lit(None)) for l in lines]
+    )
+    s = lambda xs: sum(xs[1:], xs[0])  # noqa: E731
+    n_lines, n_kept = s(nonempty), s(kept)
+    return docs.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        n_kept.alias("n_kept"),
+        s(short).alias("n_short"),
+        s(nopunct).alias("n_nopunct"),
+        s(boil).alias("n_boiler"),
+        F.round(n_kept / n_lines, 6).alias("kept_frac"),
+        (n_kept >= 2).alias("doc_keep"),
+        F.md5(F.encode(kept_text, "utf-8")).alias("kept_fp"),
+    )
+
+
+def _c4_sql_lines():
+    return [
+        "'Home | News | Sports'",
+        "array_to_string(list_slice(string_split(text, ' '), 1, 12), ' ')"
+        " || CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END",
+        "CASE WHEN doc_id % 7 = 0"
+        " THEN 'We use cookies to improve your experience.' ELSE '' END",
+        "CASE WHEN len(string_split(text, ' ')) > 12 THEN"
+        " array_to_string(list_slice(string_split(text, ' '), 13, 100000),"
+        " ' ') || '.' ELSE '' END",
+        "CASE WHEN doc_id % 3 = 1 THEN 'Read more.' ELSE '' END",
+    ]
+
+
+def _c4_sql():
+    lines = _c4_sql_lines()
+    cols = ",\n         ".join(
+        f"{e} AS l{i}" for i, e in enumerate(lines)
+    )
+    def wc(i):
+        return (
+            f"CASE WHEN l{i} = '' THEN 0"
+            f" ELSE len(string_split(l{i}, ' ')) END"
+        )
+    def boiler(i):
+        return " OR ".join(
+            f"contains(lower(l{i}), '{p}')" for p in C4_BOILER
+        )
+    def keep(i):
+        return (
+            f"({wc(i)} >= {C4_MIN_WORDS} AND right(l{i}, 1) = '.'"
+            f" AND NOT ({boiler(i)}))"
+        )
+    n = range(5)
+    n_lines = " + ".join(f"CASE WHEN l{i} <> '' THEN 1 ELSE 0 END" for i in n)
+    n_kept = " + ".join(f"CASE WHEN {keep(i)} THEN 1 ELSE 0 END" for i in n)
+    n_short = " + ".join(
+        f"CASE WHEN l{i} <> '' AND {wc(i)} < {C4_MIN_WORDS} THEN 1 ELSE 0 END"
+        for i in n
+    )
+    n_nopunct = " + ".join(
+        f"CASE WHEN {wc(i)} >= {C4_MIN_WORDS} AND right(l{i}, 1) <> '.'"
+        f" THEN 1 ELSE 0 END"
+        for i in n
+    )
+    n_boiler = " + ".join(
+        f"CASE WHEN {wc(i)} >= {C4_MIN_WORDS} AND right(l{i}, 1) = '.'"
+        f" AND ({boiler(i)}) THEN 1 ELSE 0 END"
+        for i in n
+    )
+    kept_text = (
+        "concat_ws(chr(10), "
+        + ", ".join(f"CASE WHEN {keep(i)} THEN l{i} ELSE NULL END" for i in n)
+        + ")"
+    )
+    return f"""
+WITH lines AS (
+  SELECT doc_id,
+         {cols}
+  FROM documents
+)
+SELECT doc_id,
+       CAST({n_lines} AS INT) AS n_lines,
+       CAST({n_kept} AS INT) AS n_kept,
+       CAST({n_short} AS INT) AS n_short,
+       CAST({n_nopunct} AS INT) AS n_nopunct,
+       CAST({n_boiler} AS INT) AS n_boiler,
+       round(CAST({n_kept} AS DOUBLE) / ({n_lines}), 6) AS kept_frac,
+       ({n_kept}) >= 2 AS doc_keep,
+       md5({kept_text}) AS kept_fp
+FROM lines
+"""
+
+
+SQL_C4_LINE_FILTER = _c4_sql()
+
+
+# --- blocklist filtering (round 6) -----------------------------------------
+
+BLOCKLIST = ("slow", "merge", "vector")
+BLOCKLIST_MAX_RATIO = 0.1
+
+
+def q_blocklist_filter(spark, sf_dir):
+    """Lexicon blocklist filter (the C4 'List of Dirty, Naughty ...'
+    word-filter shape): per-doc flagged-token count and ratio against a
+    broadcastable lexicon, keep iff ratio <= threshold.  The lexicon is
+    a literal IN-set inside a higher-order filter — no join, no
+    shuffle, whole-stage codegen over the scan."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    flagged = F.size(
+        F.filter(toks, lambda t: t.isin(*BLOCKLIST))
+    )
+    n = F.size(toks)
+    ratio = F.round(flagged / n, 6)
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        flagged.alias("n_flagged"),
+        ratio.alias("flag_ratio"),
+        (ratio <= BLOCKLIST_MAX_RATIO).alias("keep"),
+    )
+
+
+_BLOCK_IN = ", ".join(f"'{w}'" for w in BLOCKLIST)
+SQL_BLOCKLIST_FILTER = f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       CAST(len(list_filter(string_split(text, ' '),
+                t -> t IN ({_BLOCK_IN}))) AS INT) AS n_flagged,
+       round(CAST(len(list_filter(string_split(text, ' '),
+                t -> t IN ({_BLOCK_IN}))) AS DOUBLE)
+             / len(string_split(text, ' ')), 6) AS flag_ratio,
+       round(CAST(len(list_filter(string_split(text, ' '),
+                t -> t IN ({_BLOCK_IN}))) AS DOUBLE)
+             / len(string_split(text, ' ')), 6)
+         <= {BLOCKLIST_MAX_RATIO!r} AS keep
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -5845,6 +6177,11 @@ SQL_LSH_INDEX_STATS = _SQL_LSH_STATS_TMP.format(ctes=_minhash_sql_ctes())
 # so at most 49 entries here land in the window — test_registry_window.py
 # asserts every Tier-A name is inside it.
 QUERIES = {
+    # --- Tier A (round 6, late adds): never driver-verified — head of
+    #     the window ---
+    "pii_redact": (q_pii_redact, SQL_PII_REDACT),
+    "c4_line_filter": (q_c4_line_filter, SQL_C4_LINE_FILTER),
+    "blocklist_filter": (q_blocklist_filter, SQL_BLOCKLIST_FILTER),
     # --- Tier B (round 6): rows whose last green driver row is r04,
     #     rotated back INSIDE the 50-entry driver window (the two
     #     engine rows in __spark_entry__ take slots 1-2, so the first

@@ -25,6 +25,11 @@ DRIVER_WINDOW = 50
 TIER_A_R6: list[str] = [
     "crawl_wave_articles",
     "corpus_prepare_crawled",  # first green expected r06 (golden-fixture oracle)
+    # round-6 late adds (web-text cleaning + sketch ops) — never
+    # driver-verified, head of the window:
+    "pii_redact",
+    "c4_line_filter",
+    "blocklist_filter",
 ]
 
 # Last green driver row r04 — rotated back in-window for freshness.
@@ -44,11 +49,15 @@ TIER_B_R6 = [
     "embedding_near_dup", "simhash_near_dup", "topic_classify",
     "topic_distribution", "summary_gate", "article_entities",
     "kmeans_step", "kmeans_train", "knn_ivf_trained",
-    "knn_recall_trained", "tfidf_top_terms", "unigram_surprisal",
-    "length_quantiles", "chunk_dedup",
+    "knn_recall_trained", "tfidf_top_terms",
 ]
 
-TIER_B_SPILL = ["frame_sample"]  # r04-green, first entry past the window
+# r04-green rows past the window (displaced by the Tier-A late adds —
+# VERDICT r5 item 4's done-bar of ">= 40 r04-green rows in-window" still
+# holds); these ride pytest until r7 rotates them back in.
+TIER_B_SPILL = [
+    "unigram_surprisal", "length_quantiles", "chunk_dedup", "frame_sample",
+]
 
 # Green in CORRECTNESS_r05 — allowed outside the window this round.
 R05_GREEN = [
