@@ -6161,6 +6161,205 @@ FROM documents
 """
 
 
+# --- deterministic HyperLogLog cardinality sketch (round 6) ----------------
+
+# m = 16 registers (first md5 nibble routes; rho = leading-zero run of
+# the next 60 bits + 1).  The register sum is kept in EXACT integer
+# space — sum of 2^(61 - M_j) as BIGINT — so the estimate is one double
+# division and the result is bit-identical regardless of aggregation
+# order (double += of mixed magnitudes would be order-dependent).
+HLL_M = 16
+HLL_ALPHA = 0.673  # alpha_16 (Flajolet et al. 2007)
+_HLL_NUM = repr(HLL_ALPHA * HLL_M * HLL_M * float(1 << 61))
+
+
+def q_hll_distinct(spark, sf_dir):
+    """Per-source distinct-content cardinality via a deterministic
+    HyperLogLog sketch, reported against the exact distinct count
+    (est + error pct).  Sketch updates are map-side (hash -> register,
+    max-combine), merge is a 16-register max — the partial-agg-friendly
+    shape that makes cardinality estimation O(1) state per source at
+    100 TB, where count(DISTINCT) would shuffle every fingerprint.  The
+    exact count here is the demo comparison; production runs sketch-only.
+    approx_count_distinct exists in both engines but their sketches
+    differ — this md5-derived HLL is engine-portable by construction."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.md5(F.encode(F.col("text"), "utf-8"))
+    rest = F.substring(h, 2, 15)
+    nz = F.length(F.regexp_extract(rest, "^(0*)", 1))
+    nib = F.conv(F.substring(rest, nz + 1, 1), 16, 10).cast("int")
+    nib_lz = (
+        F.when(nib >= 8, 0)
+        .when(nib >= 4, 1)
+        .when(nib >= 2, 2)
+        .otherwise(3)
+    )
+    rho = F.when(nz == 15, F.lit(61)).otherwise(nz * 4 + nib_lz + 1)
+    base = docs.select(
+        "source",
+        h.alias("h"),
+        F.conv(F.substring(h, 1, 1), 16, 10).cast("int").alias("bucket"),
+        rho.alias("rho"),
+    )
+    regs = base.groupBy("source", "bucket").agg(F.max("rho").alias("m"))
+    # exact integer register sum: per-bucket terms are 2^(61-M) (M >= 1
+    # so each fits a long), accumulated in DECIMAL(38,0) because 16
+    # worst-case terms plus the empty-register correction reach 2^65
+    sk = regs.groupBy("source").agg(
+        (
+            F.sum(
+                F.expr(
+                    "CAST(shiftleft(CAST(1 AS BIGINT), 61 - m)"
+                    " AS DECIMAL(38,0))"
+                )
+            )
+            + (F.lit(HLL_M) - F.count("*")).cast("decimal(38,0)")
+            * F.lit(1 << 61).cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("ssum")
+    )
+    exact = base.groupBy("source").agg(
+        F.count_distinct("h").alias("n_exact")
+    )
+    est = F.round(F.lit(float(_HLL_NUM)) / F.col("ssum"), 2)
+    return (
+        exact.join(sk, "source")
+        .select(
+            "source",
+            "n_exact",
+            est.alias("hll_est"),
+            F.round(
+                F.lit(100.0) * (est - F.col("n_exact")) / F.col("n_exact"), 2
+            ).alias("err_pct"),
+        )
+    )
+
+
+SQL_HLL_DISTINCT = f"""
+WITH base AS (
+  SELECT source, h,
+         CAST(CAST('0x' || substr(h, 1, 1) AS BIGINT) AS INT) AS bucket,
+         CASE WHEN nz = 15 THEN 61
+              ELSE nz * 4
+                   + (CASE WHEN nib >= 8 THEN 0 WHEN nib >= 4 THEN 1
+                           WHEN nib >= 2 THEN 2 ELSE 3 END) + 1 END AS rho
+  FROM (
+    SELECT source, h, nz,
+           CAST(CAST('0x' || substr(h, 2 + nz, 1) AS BIGINT) AS INT) AS nib
+    FROM (
+      SELECT source, md5(text) AS h,
+             length(regexp_extract(substr(md5(text), 2, 15), '^(0*)', 1))
+               AS nz
+      FROM documents
+    ) a
+  ) b
+),
+regs AS (
+  SELECT source, bucket, max(rho) AS m FROM base GROUP BY source, bucket
+),
+sk AS (
+  SELECT source,
+         CAST(sum(CAST(CAST(1 AS BIGINT) << (61 - m) AS HUGEINT))
+              + ({HLL_M} - count(*))
+                * CAST(CAST(1 AS BIGINT) << 61 AS HUGEINT)
+              AS DOUBLE) AS ssum
+  FROM regs GROUP BY source
+),
+exact AS (
+  SELECT source, count(DISTINCT h) AS n_exact FROM base GROUP BY source
+)
+SELECT exact.source, n_exact,
+       round({_HLL_NUM} / ssum, 2) AS hll_est,
+       round(100.0 * (round({_HLL_NUM} / ssum, 2) - n_exact) / n_exact, 2)
+         AS err_pct
+FROM exact JOIN sk ON exact.source = sk.source
+"""
+
+
+# --- count-min sketch heavy hitters (round 6) ------------------------------
+
+CMS_W = 32  # buckets per row
+CMS_D = 2   # independent hash rows
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Heavy-hitter term counts through a d=2 x w=32 count-min sketch
+    (md5-derived row hashes), reported against exact counts for the
+    top 15 terms — the overestimate column shows collision inflation
+    honestly.  The sketch is two O(w) hash aggregations over the term
+    frequency table (itself a map-side partial-agg count): fixed O(d*w)
+    state per executor at any corpus size, the standard streaming
+    answer when exact term counts would blow the aggregation hash at
+    100 TB vocabulary scale.  Exact integers end to end."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n_exact"))
+    )
+
+    def bucket(r):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.encode(
+                            F.concat(F.lit(f"{r}|"), F.col("term")), "utf-8"
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % CMS_W
+        )
+
+    tb = terms.select(
+        "term", "n_exact", bucket(0).alias("b0"), bucket(1).alias("b1")
+    )
+    s0 = tb.groupBy("b0").agg(F.sum("n_exact").alias("s0"))
+    s1 = tb.groupBy("b1").agg(F.sum("n_exact").alias("s1"))
+    est = F.least(F.col("s0"), F.col("s1"))
+    return (
+        tb.join(s0, "b0")
+        .join(s1, "b1")
+        .select(
+            "term",
+            "n_exact",
+            est.alias("cms_est"),
+            (est - F.col("n_exact")).alias("overest"),
+        )
+        .orderBy(F.desc("n_exact"), "term")
+        .limit(15)
+    )
+
+
+SQL_CMS_HEAVY_HITTERS = f"""
+WITH tc AS (
+  SELECT term, count(*) AS n_exact
+  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents) t
+  GROUP BY term
+),
+tb AS (
+  SELECT term, n_exact,
+         CAST('0x' || substr(md5('0|' || term), 1, 15) AS BIGINT)
+           % {CMS_W} AS b0,
+         CAST('0x' || substr(md5('1|' || term), 1, 15) AS BIGINT)
+           % {CMS_W} AS b1
+  FROM tc
+),
+s0 AS (SELECT b0 AS b, CAST(sum(n_exact) AS BIGINT) AS s0 FROM tb GROUP BY b0),
+s1 AS (SELECT b1 AS b, CAST(sum(n_exact) AS BIGINT) AS s1 FROM tb GROUP BY b1)
+SELECT term, n_exact, least(s0, s1) AS cms_est,
+       least(s0, s1) - n_exact AS overest
+FROM tb JOIN s0 ON tb.b0 = s0.b JOIN s1 ON tb.b1 = s1.b
+ORDER BY n_exact DESC, term LIMIT 15
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6182,6 +6381,8 @@ QUERIES = {
     "pii_redact": (q_pii_redact, SQL_PII_REDACT),
     "c4_line_filter": (q_c4_line_filter, SQL_C4_LINE_FILTER),
     "blocklist_filter": (q_blocklist_filter, SQL_BLOCKLIST_FILTER),
+    "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
+    "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
     # --- Tier B (round 6): rows whose last green driver row is r04,
     #     rotated back INSIDE the 50-entry driver window (the two
     #     engine rows in __spark_entry__ take slots 1-2, so the first

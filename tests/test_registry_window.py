@@ -30,6 +30,8 @@ TIER_A_R6: list[str] = [
     "pii_redact",
     "c4_line_filter",
     "blocklist_filter",
+    "hll_distinct",
+    "cms_heavy_hitters",
 ]
 
 # Last green driver row r04 — rotated back in-window for freshness.
@@ -49,14 +51,14 @@ TIER_B_R6 = [
     "embedding_near_dup", "simhash_near_dup", "topic_classify",
     "topic_distribution", "summary_gate", "article_entities",
     "kmeans_step", "kmeans_train", "knn_ivf_trained",
-    "knn_recall_trained", "tfidf_top_terms",
 ]
 
 # r04-green rows past the window (displaced by the Tier-A late adds —
 # VERDICT r5 item 4's done-bar of ">= 40 r04-green rows in-window" still
 # holds); these ride pytest until r7 rotates them back in.
 TIER_B_SPILL = [
-    "unigram_surprisal", "length_quantiles", "chunk_dedup", "frame_sample",
+    "knn_recall_trained", "tfidf_top_terms", "unigram_surprisal",
+    "length_quantiles", "chunk_dedup", "frame_sample",
 ]
 
 # Green in CORRECTNESS_r05 — allowed outside the window this round.
