@@ -6360,6 +6360,158 @@ ORDER BY n_exact DESC, term LIMIT 15
 """
 
 
+# --- trained quality classifier (round 6) ----------------------------------
+
+# FastText-style classifier-based quality filtering (the GPT-3/LLaMA
+# "looks like curated text" gate), distilled here to a 3-feature
+# logistic model trained by batch gradient descent.  Determinism
+# design: (a) the squashing function is the rational fast sigmoid
+# 0.5 + z/(2*(1+|z|)) — +,*,/,abs only, so both engines compute
+# bit-identical doubles (libm exp would differ in the last ulp);
+# (b) each doc's gradient contribution is floor-quantized to integer
+# micro-units and summed as BIGINT, so the gradient is EXACT and
+# aggregation-order-independent (a raw double sum would drift with
+# partition order); (c) weights live in integer micro-units.  Exactness
+# bound: |contribution| <= ~5e6, so corpora beyond ~1.8e9 docs need a
+# smaller quantization scale to stay under 2^53 — document, not hit,
+# at tested scales.
+LOGREG_ITERS = 6
+LOGREG_LR = 16.0
+LOGREG_C1 = 0.45  # feature centering (fixed constants, not data stats)
+LOGREG_C2 = 0.75
+LOGREG_LABEL_CHARS = 250
+_LOGREG_CACHE: dict[tuple, tuple] = {}
+
+
+def _logreg_feats(docs):
+    toks = F.split("text", " ")
+    nt = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    return docs.select(
+        (nt / F.lit(100.0) - F.lit(LOGREG_C1)).alias("x1"),
+        (nd.cast("double") / nt - F.lit(LOGREG_C2)).alias("x2"),
+        F.when(F.col("n_chars") >= LOGREG_LABEL_CHARS, 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+
+
+def _logreg_train(spark, sf_dir):
+    """3 GD iterations; only the 3-weight vector (micro-int) crosses to
+    the driver per iteration — MLlib's treeAggregate shape."""
+    import math
+
+    key = (sf_dir,)
+    if key in _LOGREG_CACHE:
+        return _LOGREG_CACHE[key]
+    feats = _logreg_feats(_t(spark, sf_dir, "documents"))
+    w = [0, 0, 0]
+    for _ in range(LOGREG_ITERS):
+        z = (
+            F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+        ) / F.lit(1000000.0)
+        s = F.lit(0.5) + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z)))
+        e = s - F.col("y")
+        row = feats.agg(
+            F.sum(F.floor(e * F.lit(1000000.0)).cast("long")).alias("g0"),
+            F.sum(
+                F.floor((e * F.col("x1")) * F.lit(1000000.0)).cast("long")
+            ).alias("g1"),
+            F.sum(
+                F.floor((e * F.col("x2")) * F.lit(1000000.0)).cast("long")
+            ).alias("g2"),
+            F.count("*").alias("n"),
+        ).first()
+        n = int(row.n)
+        w = [
+            w[k] - math.floor(LOGREG_LR * float(int(row[f"g{k}"])) / n)
+            for k in range(3)
+        ]
+    _LOGREG_CACHE[key] = tuple(w)
+    return tuple(w)
+
+
+def q_logreg_quality(spark, sf_dir):
+    """Classifier-based quality filtering, trained end-to-end: fit the
+    deterministic logistic model against the n_chars >= 250 heuristic
+    label, then report the confusion matrix plus the learned weights
+    (micro-int).  Training is 3 bounded-state aggregation jobs; scoring
+    is one map-side pass — at 100 TB the score column rides the page
+    scan exactly like q_quality_score."""
+    w0, w1, w2 = _logreg_train(spark, sf_dir)
+    feats = _logreg_feats(_t(spark, sf_dir, "documents"))
+    z = F.lit(w0) + F.lit(w1) * F.col("x1") + F.lit(w2) * F.col("x2")
+    return (
+        feats.select(
+            "y", F.when(z > 0, 1).otherwise(0).alias("pred")
+        )
+        .groupBy("y", "pred")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "y",
+            "pred",
+            "n",
+            F.lit(w0).cast("long").alias("w0_micro"),
+            F.lit(w1).cast("long").alias("w1_micro"),
+            F.lit(w2).cast("long").alias("w2_micro"),
+        )
+    )
+
+
+def _sql_logreg(n_iters: int = LOGREG_ITERS) -> str:
+    """The identical integer-quantized GD loop unrolled as CTEs."""
+    sql = f"""
+WITH f AS (
+  SELECT len(string_split(text, ' ')) / 100.0 - {LOGREG_C1} AS x1,
+         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / len(string_split(text, ' ')) - {LOGREG_C2} AS x2,
+         CASE WHEN n_chars >= {LOGREG_LABEL_CHARS} THEN 1 ELSE 0 END AS y
+  FROM documents
+), w0 AS (
+  SELECT CAST(0 AS BIGINT) AS w0i, CAST(0 AS BIGINT) AS w1i,
+         CAST(0 AS BIGINT) AS w2i
+)"""
+    for t in range(1, n_iters + 1):
+        sql += f""", g{t} AS (
+  SELECT CAST(sum(CAST(floor((s - y) * 1000000.0) AS BIGINT)) AS BIGINT)
+           AS g0,
+         CAST(sum(CAST(floor(((s - y) * x1) * 1000000.0) AS BIGINT))
+           AS BIGINT) AS g1,
+         CAST(sum(CAST(floor(((s - y) * x2) * 1000000.0) AS BIGINT))
+           AS BIGINT) AS g2,
+         count(*) AS n
+  FROM (
+    SELECT y, x1, x2, 0.5 + z / (2.0 * (1.0 + abs(z))) AS s
+    FROM (
+      SELECT f.*, (w0i + w1i * x1 + w2i * x2) / 1000000.0 AS z
+      FROM f, w{t - 1}
+    ) z{t}
+  ) s{t}
+), w{t} AS (
+  SELECT w0i - CAST(floor({LOGREG_LR!r} * CAST(g0 AS DOUBLE) / n) AS BIGINT)
+           AS w0i,
+         w1i - CAST(floor({LOGREG_LR!r} * CAST(g1 AS DOUBLE) / n) AS BIGINT)
+           AS w1i,
+         w2i - CAST(floor({LOGREG_LR!r} * CAST(g2 AS DOUBLE) / n) AS BIGINT)
+           AS w2i
+  FROM g{t}, w{t - 1}
+)"""
+    return sql + f"""
+SELECT y, pred, count(*) AS n, w0i AS w0_micro, w1i AS w1_micro,
+       w2i AS w2_micro
+FROM (
+  SELECT y,
+         CASE WHEN (w0i + w1i * x1 + w2i * x2) > 0 THEN 1 ELSE 0 END AS pred,
+         w0i, w1i, w2i
+  FROM f, w{n_iters}
+) p
+GROUP BY y, pred, w0i, w1i, w2i
+"""
+
+
+SQL_LOGREG_QUALITY = _sql_logreg()
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6383,6 +6535,7 @@ QUERIES = {
     "blocklist_filter": (q_blocklist_filter, SQL_BLOCKLIST_FILTER),
     "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
     "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
+    "logreg_quality": (q_logreg_quality, SQL_LOGREG_QUALITY),
     # --- Tier B (round 6): rows whose last green driver row is r04,
     #     rotated back INSIDE the 50-entry driver window (the two
     #     engine rows in __spark_entry__ take slots 1-2, so the first
