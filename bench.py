@@ -116,6 +116,13 @@ BENCH_QUERIES = [
     "inverted_index",
     "edit_distance_verify",
     "lsh_index_stats",
+    # round 6
+    "pii_redact",
+    "c4_line_filter",
+    "blocklist_filter",
+    "hll_distinct",
+    "cms_heavy_hitters",
+    "logreg_quality",
 ]
 
 

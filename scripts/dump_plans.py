@@ -255,6 +255,28 @@ def main() -> None:
             "dimension; day indexes are wall-clock datediff arithmetic "
             "(TIMESTAMP_NTZ never passes through a session-zone cast).",
         ),
+        (
+            "c4_line_filter",
+            "C4-style line cleaning: the whole operator is ONE Project "
+            "over the scan (five fixed line slots as column arithmetic "
+            "— no explode, no Exchange); at 100 TB it is pure map.",
+        ),
+        (
+            "hll_distinct",
+            "Deterministic HyperLogLog: register update is map-side "
+            "(partial max per (source,bucket) before the Exchange), "
+            "merge is a 16-register max — the exact count here exists "
+            "only as the demo comparison; production runs sketch-only "
+            "with O(1) state per source.",
+        ),
+        (
+            "logreg_quality",
+            "Trained quality classifier scoring pass: the learned "
+            "weights are literals in a single map-side Project + one "
+            "4-row aggregation; training ran as 6 bounded-state "
+            "aggregation jobs (3 BIGINT gradient sums each) before "
+            "this plan was built.",
+        ),
     ]:
         fn, _sql = QUERIES[name]
         sections.append((f"query: {name}", note, fmt(fn(spark, SF))))
