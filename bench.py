@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "hll_distinct",
     "cms_heavy_hitters",
     "logreg_quality",
+    "shingle_containment",
 ]
 
 

@@ -492,18 +492,10 @@ CASE WHEN len(string_split_regex(lower(text), '\\s+')) >= 3
 """
 
 
-def q_ngram_jaccard_pairs(spark, sf_dir):
-    """Near-dup detection, candidates-then-verify: MinHash-LSH candidate
-    pairs (q_minhash_lsh_candidates — banded, bucketed) verified with
-    the EXACT word-3-gram Jaccard, keeping pairs >= threshold.
-
-    This is the scale shape: a raw shingle self-join makes every
-    document pair sharing ANY common 3-gram meet in the shuffle —
-    frequent shingles are hot keys and the pair space degrades toward
-    O(n^2) on boilerplate-heavy corpora. LSH candidates bound the
-    verified pairs to band collisions (recall is the LSH S-curve:
-    ~1-(1-j^2)^4 per pair — near-certain for true near-dups, by design
-    not exhaustive at the threshold floor)."""
+def _shingle_sized(spark, sf_dir):
+    """(doc_id, sh, n_sh): distinct word-3-gram shingle sets per doc via
+    one Arrow kernel over the scan — shared by the Jaccard and
+    containment verifiers."""
     import re
 
     import pandas as pd
@@ -528,11 +520,26 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
             out["sh"] = shs
             yield out
 
-    sized = (
+    return (
         _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
         .mapInPandas(shingle_kernel, schema="doc_id long, sh array<string>")
         .withColumn("n_sh", F.size("sh"))
     )
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Near-dup detection, candidates-then-verify: MinHash-LSH candidate
+    pairs (q_minhash_lsh_candidates — banded, bucketed) verified with
+    the EXACT word-3-gram Jaccard, keeping pairs >= threshold.
+
+    This is the scale shape: a raw shingle self-join makes every
+    document pair sharing ANY common 3-gram meet in the shuffle —
+    frequent shingles are hot keys and the pair space degrades toward
+    O(n^2) on boilerplate-heavy corpora. LSH candidates bound the
+    verified pairs to band collisions (recall is the LSH S-curve:
+    ~1-(1-j^2)^4 per pair — near-certain for true near-dups, by design
+    not exhaustive at the threshold floor)."""
+    sized = _shingle_sized(spark, sf_dir)
     cand = q_minhash_lsh_candidates(spark, sf_dir)
     a = sized.select(
         F.col("doc_id").alias("doc_a"),
@@ -755,6 +762,73 @@ SQL_MINHASH_LSH_CANDIDATES = _sql_minhash()
 SQL_NGRAM_JACCARD_PAIRS = SQL_NGRAM_JACCARD_PAIRS.format(
     minhash_candidates=SQL_MINHASH_LSH_CANDIDATES
 )
+
+
+SHINGLE_CONTAINMENT_THRESHOLD = 0.95
+
+
+def q_shingle_containment(spark, sf_dir):
+    """Asymmetric near-containment over the LSH candidate pairs — the
+    syndication / quote-expansion case symmetric Jaccard under-scores
+    (a short doc fully embedded in a long one has containment ~1 but
+    Jaccard ~ |short|/|long|): per pair, exact 3-gram containment in
+    BOTH directions plus Jaccard, flagging pairs where either direction
+    >= 0.95.  Same scale shape as q_ngram_jaccard_pairs: the candidate
+    set bounds the verified pairs, the shingle sets ride the scan as
+    one Arrow kernel, and the verify is per-pair array arithmetic."""
+    sized = _shingle_sized(spark, sf_dir)
+    cand = q_minhash_lsh_candidates(spark, sf_dir)
+    a = sized.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("n_sh").alias("na"),
+    )
+    b = sized.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("n_sh").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.col("na") + F.col("nb") - inter)
+    cont_a = inter / F.col("na")
+    cont_b = inter / F.col("nb")
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jac, 4).alias("jaccard"),
+            F.round(cont_a, 4).alias("cont_a"),
+            F.round(cont_b, 4).alias("cont_b"),
+            (
+                F.greatest(cont_a, cont_b)
+                >= F.lit(SHINGLE_CONTAINMENT_THRESHOLD)
+            ).alias("contained"),
+        )
+    )
+
+
+SQL_SHINGLE_CONTAINMENT = f"""
+WITH sh AS (
+  SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents
+), sized AS (
+  SELECT doc_id, sh, len(sh) AS n_sh FROM sh WHERE len(sh) > 0
+), verified AS (
+  SELECT cand.doc_a, cand.doc_b, a.n_sh AS na, b.n_sh AS nb,
+         len(list_filter(a.sh, s -> list_contains(b.sh, s))) AS inter
+  FROM ({SQL_MINHASH_LSH_CANDIDATES}) cand
+  JOIN sized a ON a.doc_id = cand.doc_a
+  JOIN sized b ON b.doc_id = cand.doc_b
+)
+SELECT doc_a, doc_b,
+       round(inter / (na + nb - inter), 4) AS jaccard,
+       round(inter / na, 4) AS cont_a,
+       round(inter / nb, 4) AS cont_b,
+       greatest(inter / na, inter / nb)
+         >= {SHINGLE_CONTAINMENT_THRESHOLD!r} AS contained
+FROM verified
+"""
 
 
 def q_near_dup_clusters(spark, sf_dir, docs=None):
@@ -6536,6 +6610,7 @@ QUERIES = {
     "hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
     "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
     "logreg_quality": (q_logreg_quality, SQL_LOGREG_QUALITY),
+    "shingle_containment": (q_shingle_containment, SQL_SHINGLE_CONTAINMENT),
     # --- Tier B (round 6): rows whose last green driver row is r04,
     #     rotated back INSIDE the 50-entry driver window (the two
     #     engine rows in __spark_entry__ take slots 1-2, so the first

@@ -33,10 +33,11 @@ TIER_A_R6: list[str] = [
     "hll_distinct",
     "cms_heavy_hitters",
     "logreg_quality",
+    "shingle_containment",
 ]
 
 # Last green driver row r04 — rotated back in-window for freshness.
-# 42 of these 49 fit beside the two engine rows and six Tier-A late
+# 41 of these 49 fit beside the two engine rows and seven Tier-A late
 # adds (>= 40 r04-green in-window, VERDICT r5 item 4's done-bar).
 TIER_B_R6 = [
     "knn_recall", "near_dup_clusters", "windowed_counts", "asof_join",
@@ -51,14 +52,14 @@ TIER_B_R6 = [
     "corpus_prepare", "seen_antijoin", "first_wins_dedup", "knn_ivf",
     "embedding_near_dup", "simhash_near_dup", "topic_classify",
     "topic_distribution", "summary_gate", "article_entities",
-    "kmeans_step", "kmeans_train",
+    "kmeans_step",
 ]
 
 # r04-green rows past the window (displaced by the Tier-A late adds —
 # VERDICT r5 item 4's done-bar of ">= 40 r04-green rows in-window" still
 # holds); these ride pytest until r7 rotates them back in.
 TIER_B_SPILL = [
-    "knn_ivf_trained", "knn_recall_trained", "tfidf_top_terms", "unigram_surprisal",
+    "kmeans_train", "knn_ivf_trained", "knn_recall_trained", "tfidf_top_terms", "unigram_surprisal",
     "length_quantiles", "chunk_dedup", "frame_sample",
 ]
 
