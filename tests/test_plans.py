@@ -315,3 +315,48 @@ def test_dedup_gate_bucketed_probe_is_colocated(spark, tmp_path):
         "Exchange" in n or "HashAggregate" in n for n in path
     ), f"history side shuffles before the co-located probe join: {path}\n{plan}"
     cached.unpersist()
+
+
+def test_round6_cleaners_ride_the_scan(spark):
+    """pii_redact / c4_line_filter / blocklist_filter are pure map over
+    the page scan: no hash/range Exchange anywhere (the 100 TB shape —
+    a cleaner that shuffles is wrong by construction), and the scan
+    reads only the columns the operator needs."""
+    import re
+
+    from newscrawl.queries import (
+        q_blocklist_filter,
+        q_c4_line_filter,
+        q_pii_redact,
+    )
+
+    for q in (q_pii_redact, q_c4_line_filter, q_blocklist_filter):
+        plan = _plan(q(spark, "/root/testdata/sf0.01"))
+        hash_exchanges = re.findall(r"Exchange (hash|range)partitioning", plan)
+        assert not hash_exchanges, (q.__name__, hash_exchanges)
+        rs = plan.split("ReadSchema: ")[-1].splitlines()[0]
+        assert "source" not in rs and "lang" not in rs, (q.__name__, rs)
+
+
+def test_hll_register_update_is_partial_agg(spark):
+    """The (source,bucket) register max must run as a two-phase hash
+    aggregate (partial_max before the Exchange): HLL's whole point at
+    100 TB is that updates combine map-side to O(sources x 16) rows."""
+    from newscrawl.queries import q_hll_distinct
+
+    plan = _plan(q_hll_distinct(spark, "/root/testdata/sf0.01"))
+    assert "partial_max" in plan, plan[:2000]
+
+
+def test_logreg_scoring_is_single_aggregation(spark):
+    """The scoring pass after training: exactly one hash-partitioning
+    Exchange (the 4-cell confusion groupBy) — the learned weights are
+    literals in a map-side Project, never a join."""
+    import re
+
+    from newscrawl.queries import q_logreg_quality
+
+    plan = _plan(q_logreg_quality(spark, "/root/testdata/sf0.01"))
+    assert "Join" not in plan
+    hash_exchanges = re.findall(r"Exchange hashpartitioning", plan)
+    assert len(hash_exchanges) == 1, hash_exchanges
