@@ -4895,7 +4895,10 @@ def q_bigram_lm_perplexity(spark, sf_dir):
         "doc_id", "b.w1", "b.w2"
     )
     c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    # c1 (bigram occurrences of w1) == sum over w2 of c12 — derive it
+    # from the vocabulary-sized aggregate instead of re-aggregating the
+    # full bigram stream: one corpus-wide shuffle, not two
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = (
         docs.select(F.explode(toks).alias("w"))
         .agg(F.count_distinct("w").alias("v"))
