@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "cms_heavy_hitters",
     "logreg_quality",
     "shingle_containment",
+    "pps_sample",
 ]
 
 

@@ -6589,6 +6589,84 @@ GROUP BY y, pred, w0i, w1i, w2i
 SQL_LOGREG_QUALITY = _sql_logreg()
 
 
+# --- PPS systematic weighted sampling (round 6) ----------------------------
+
+PPS_K = 10  # samples per language stratum
+
+
+def q_pps_sample(spark, sf_dir):
+    """Exact-size weighted sampling: probability-proportional-to-size
+    SYSTEMATIC sampling (k evenly spaced points on the cumulative
+    weight line, deterministic md5 offset), stratified per language —
+    the data-mixing primitive when the mixture spec demands EXACTLY k
+    sequences per stratum (q_mix_resample's independent draws give the
+    expected count, not the exact one).  Entirely integer arithmetic:
+    cumulative weights are BIGINT, grid membership is counted with one
+    integer ceil-division per boundary — no floating point anywhere, so
+    the sample is bit-stable at any parallelism.  The cumulative sum
+    windows per LANGUAGE (bounded strata), never globally — the
+    sequence_pack partitioned-cumsum shape.  Exactness bound:
+    k * total_weight per stratum must fit BIGINT (k=10 holds to ~1e18
+    total chars — beyond 100 TB).  Sum(copies) == k per stratum by
+    construction (property-tested)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").alias("w")
+    )
+    win = W.partitionBy("lang").orderBy("doc_id")
+    cum = docs.withColumn("cum", F.sum("w").over(win))
+    tot = cum.groupBy("lang").agg(
+        F.max("cum").alias("tw"),
+        # deterministic stratum offset in [0, tw): md5 60-bit mod tw
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.encode(F.concat(F.lit("pps|"), F.col("lang")), "utf-8")),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.max("cum")
+        ).alias("u0"),
+    )
+    j = cum.join(F.broadcast(tot), "lang")
+    k = F.lit(PPS_K)
+
+    def ceilq(x):
+        # ceil(x / tw) for x > -tw as integer division (x + tw - 1 >= 0)
+        return F.expr(f"({x} + tw - 1) div tw")
+
+    j = j.withColumn("_hi", k * F.col("cum") - F.col("u0")).withColumn(
+        "_lo", k * (F.col("cum") - F.col("w")) - F.col("u0")
+    )
+    return (
+        j.withColumn("copies", ceilq("_hi") - ceilq("_lo"))
+        .filter(F.col("copies") > 0)
+        .select("doc_id", "lang", "w", "copies")
+    )
+
+
+SQL_PPS_SAMPLE = f"""
+WITH cum AS (
+  SELECT doc_id, lang, n_chars AS w,
+         sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+  FROM documents
+), tot AS (
+  SELECT lang, max(cum) AS tw,
+         CAST('0x' || substr(md5('pps|' || lang), 1, 15) AS BIGINT)
+           % max(cum) AS u0
+  FROM cum GROUP BY lang
+)
+SELECT doc_id, cum.lang, w,
+       CAST(({PPS_K} * cum - u0 + tw - 1) // tw
+            - ({PPS_K} * (cum - w) - u0 + tw - 1) // tw AS BIGINT) AS copies
+FROM cum JOIN tot ON cum.lang = tot.lang
+WHERE ({PPS_K} * cum - u0 + tw - 1) // tw
+      - ({PPS_K} * (cum - w) - u0 + tw - 1) // tw > 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6614,6 +6692,7 @@ QUERIES = {
     "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
     "logreg_quality": (q_logreg_quality, SQL_LOGREG_QUALITY),
     "shingle_containment": (q_shingle_containment, SQL_SHINGLE_CONTAINMENT),
+    "pps_sample": (q_pps_sample, SQL_PPS_SAMPLE),
     # --- Tier B (round 6): rows whose last green driver row is r04,
     #     rotated back INSIDE the 50-entry driver window (the two
     #     engine rows in __spark_entry__ take slots 1-2, so the first

@@ -34,11 +34,12 @@ TIER_A_R6: list[str] = [
     "cms_heavy_hitters",
     "logreg_quality",
     "shingle_containment",
+    "pps_sample",
 ]
 
 # Last green driver row r04 — rotated back in-window for freshness.
-# 41 of these 49 fit beside the two engine rows and seven Tier-A late
-# adds (>= 40 r04-green in-window, VERDICT r5 item 4's done-bar).
+# 40 of these 49 fit beside the two engine rows and eight Tier-A late
+# adds (exactly the >= 40 r04-green in-window bar, VERDICT r5 item 4).
 TIER_B_R6 = [
     "knn_recall", "near_dup_clusters", "windowed_counts", "asof_join",
     "minhash_jaccard_est", "pagerank_sources", "decontaminate",
@@ -52,14 +53,13 @@ TIER_B_R6 = [
     "corpus_prepare", "seen_antijoin", "first_wins_dedup", "knn_ivf",
     "embedding_near_dup", "simhash_near_dup", "topic_classify",
     "topic_distribution", "summary_gate", "article_entities",
-    "kmeans_step",
 ]
 
 # r04-green rows past the window (displaced by the Tier-A late adds —
 # VERDICT r5 item 4's done-bar of ">= 40 r04-green rows in-window" still
 # holds); these ride pytest until r7 rotates them back in.
 TIER_B_SPILL = [
-    "kmeans_train", "knn_ivf_trained", "knn_recall_trained", "tfidf_top_terms", "unigram_surprisal",
+    "kmeans_step", "kmeans_train", "knn_ivf_trained", "knn_recall_trained", "tfidf_top_terms", "unigram_surprisal",
     "length_quantiles", "chunk_dedup", "frame_sample",
 ]
 

@@ -251,3 +251,34 @@ def test_containment_bounds(duck):
         assert contained == (max(ca, cb) >= q.SHINGLE_CONTAINMENT_THRESHOLD - 2e-4) or (
             abs(max(ca, cb) - q.SHINGLE_CONTAINMENT_THRESHOLD) < 2e-4
         )
+
+
+# --- PPS sampling ---------------------------------------------------------
+
+
+def test_pps_sample_exact_k_per_stratum(duck):
+    """The whole point vs expected-size resampling: sum(copies) == k
+    EXACTLY in every language stratum, and a doc's copies are bounded
+    by its weight share (a doc spanning c grid strides can take at most
+    ceil(w * k / W) + 1 hits)."""
+    rows = duck.execute(
+        f"SELECT lang, CAST(sum(copies) AS BIGINT) "
+        f"FROM ({q.SQL_PPS_SAMPLE}) GROUP BY lang"
+    ).fetchall()
+    assert len(rows) >= 3
+    assert all(total == q.PPS_K for _, total in rows)
+
+
+def test_pps_sample_is_weight_monotone_under_reorder(duck):
+    """Determinism mechanism: the sample depends only on (lang, doc_id
+    order, weights) — recomputing over a shuffled-row view yields the
+    identical (doc_id, copies) set, because the cumulative line is
+    ordered BY doc_id, not by input order."""
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet') ORDER BY md5(CAST(doc_id AS VARCHAR))"
+    )
+    a = sorted(duck.execute(q.SQL_PPS_SAMPLE).fetchall())
+    b = sorted(con2.execute(q.SQL_PPS_SAMPLE).fetchall())
+    assert a == b
