@@ -922,6 +922,8 @@ def q_knn_cosine(spark, sf_dir):
     aggregate fold, deterministic tie-break on vec_id."""
     emb = _t(spark, sf_dir, "embeddings")
     qrow = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    if qrow is None:  # empty corpus / absent query vector -> empty top-k
+        return spark.createDataFrame([], "vec_id bigint, cosine double")
     qlit = F.array(*[F.lit(float(x)) for x in qrow[0]])
 
     def dot(u, v):
@@ -1063,6 +1065,8 @@ def q_knn_ivf(spark, sf_dir):
         .select("vec_id", "embedding", F.col("cent_id").alias("bucket"))
     )
     qrow = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).head()
+    if qrow is None:  # empty corpus / absent query vector -> empty top-k
+        return spark.createDataFrame([], "vec_id bigint, cosine double")
     qlit = F.array(*[F.lit(float(x)) for x in qrow["embedding"]])
     qbucket = (
         assigned.filter(F.col("vec_id") == 0).select("bucket").head()["bucket"]
@@ -1159,6 +1163,8 @@ def _multiprobe_top(spark, sf_dir, ranked, probes: int):
         .collect()
     ]
     qrow = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).head()
+    if qrow is None:  # empty corpus / absent query vector -> empty top-k
+        return spark.createDataFrame([], "vec_id bigint, cos_raw double")
     qlit = F.array(*[F.lit(float(x)) for x in qrow["embedding"]])
     qcos = _emb_dot(F.col("embedding"), qlit) / (
         F.sqrt(_emb_dot(F.col("embedding"), F.col("embedding")))
@@ -2232,6 +2238,8 @@ def q_knn_ivf_trained(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     assigned = _assign_to_centroids(emb, cents_df)
     qrow = emb.filter(F.col("vec_id") == 0).head()
+    if qrow is None:  # empty corpus / absent query vector -> empty top-k
+        return spark.createDataFrame([], "vec_id bigint, cosine double")
     qlit = F.array(*[F.lit(float(x)) for x in qrow["embedding"]])
     qbucket = assigned.filter(F.col("vec_id") == 0).select("bucket").head()["bucket"]
     qcos = _vec_dot(F.col("embedding"), qlit) / (
@@ -2377,7 +2385,9 @@ def q_unigram_surprisal(spark, sf_dir):
         "doc_id", F.explode(_toks()).alias("term")
     ).filter(F.col("term") != "")
     vocab = terms.groupBy("term").agg(F.count("*").alias("cnt"))
-    total = vocab.agg(F.sum("cnt")).first()[0]  # one scalar
+    # one scalar; `or 1` keeps the (vacuously empty) plan valid on a
+    # zero-row corpus, where sum(cnt) aggregates to NULL
+    total = vocab.agg(F.sum("cnt")).first()[0] or 1
     surprisal = -F.log(F.col("cnt") / F.lit(float(total)))
     return (
         terms.join(F.broadcast(vocab), "term")
@@ -3029,6 +3039,10 @@ def q_knn_quantized(spark, sf_dir):
     exact, so both engines agree bit-for-bit."""
     qdf = _quantized_df(spark, sf_dir)
     qrow = qdf.filter(F.col("vec_id") == 0).select("qv").head()
+    if qrow is None:  # empty corpus / absent query vector -> empty top-k
+        return spark.createDataFrame(
+            [], "vec_id bigint, cosine_q double, in_exact_topk int"
+        )
     qlit = F.array(*[F.lit(int(x)) for x in qrow[0]])
 
     def dot(u, v):
@@ -3382,6 +3396,10 @@ def q_pagerank_sources(spark, sf_dir):
     scd.unpersist()
     nodes = docs.select(F.col("source").alias("node")).distinct().persist()
     n = nodes.count()
+    if n == 0:  # empty corpus: no nodes, and 1/n teleport is undefined
+        frac.unpersist()
+        nodes.unpersist()
+        return spark.createDataFrame([], "node string, rank double")
     d = PAGERANK_DAMPING
     teleport = F.lit(1.0 - d) / F.lit(float(n))
     ranks = nodes.select(
@@ -4234,6 +4252,10 @@ def q_knn_pq(spark, sf_dir):
     codes = q_pq_quantize(spark, sf_dir).select("vec_id", "code0", "code1")
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     qrow = emb.filter(F.col("vec_id") == 0).head()
+    if qrow is None:  # empty corpus / absent query vector -> empty top-k
+        return spark.createDataFrame(
+            [], "vec_id bigint, adc_dist double, in_exact_topk int"
+        )
     qv = [float(x) for x in qrow["embedding"]]
     h = len(qv) // PQ_SUBSPACES
     qh = {0: qv[:h], 1: qv[h:]}
@@ -5069,7 +5091,9 @@ def q_bm25_topk(spark, sf_dir):
     stats = dl.agg(
         F.count("*").alias("n"), F.sum("dl").alias("tot")
     ).first()
-    n_docs, tot_tokens = int(stats["n"]), int(stats["tot"])
+    n_docs, tot_tokens = int(stats["n"]), int(stats["tot"] or 0)
+    if n_docs == 0:  # empty corpus: no postings, no BM25 table
+        return spark.createDataFrame([], "doc_id bigint, score double")
     tf = (
         terms.filter(F.col("term").isin(*BM25_QUERY_TERMS))
         .groupBy("doc_id", "term")
@@ -5242,9 +5266,11 @@ def q_pmi_cooccurrence(spark, sf_dir):
     uni = toked.select(F.explode(tcol).alias("w")).groupBy("w").agg(
         F.count("*").alias("cu")
     )
-    tu = int(uni.agg(F.sum("cu")).first()[0])
+    # `or 1` keeps the (vacuously empty) plan valid on a zero-row
+    # corpus, where the totals aggregate to NULL
+    tu = int(uni.agg(F.sum("cu")).first()[0] or 1)
     cab = bi.groupBy("w1", "w2").agg(F.count("*").alias("cab"))
-    tb = int(cab.agg(F.sum("cab")).first()[0])
+    tb = int(cab.agg(F.sum("cab")).first()[0] or 1)
     j = (
         cab.filter(F.col("cab") >= PMI_MIN_COUNT)
         .join(F.broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("cu", "c1")), "w1")
@@ -6500,6 +6526,8 @@ def _logreg_train(spark, sf_dir):
             F.count("*").alias("n"),
         ).first()
         n = int(row.n)
+        if n == 0:  # empty corpus: gradient undefined, keep seed weights
+            break
         w = [
             w[k] - math.floor(LOGREG_LR * float(int(row[f"g{k}"])) / n)
             for k in range(3)
