@@ -1625,7 +1625,14 @@ def q_embedding_near_dup(spark, sf_dir):
     import numpy as np
     import pandas as pd
 
-    base = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # NULL vec_id / embedding rows can never emit a pair (in SQL every
+    # comparison against them is NULL -> filtered); drop them BEFORE the
+    # kernel, whose int64/float64 matrix build would raise on None.
+    base = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id").isNotNull() & F.col("embedding").isNotNull())
+    )
     # One cheap count() sizes the block grid so per-task memory stays
     # bounded at any sf (VERDICT r2 item 6). At 100 TB the count is a
     # metadata-only parquet scan; the pair table stays tiny (B(B+1)/2
@@ -3523,7 +3530,9 @@ def q_doc_fingerprint(spark, sf_dir):
         for pdf in batches:
             out = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = [t for t in text.strip().lower().split() if t]
+                # NULL text tokenizes to nothing (matches the SQL
+                # side, where split(lower(NULL)) unnests to zero rows)
+                toks = [t for t in (text or "").strip().lower().split() if t]
                 th = np.array(
                     [
                         int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
@@ -6528,8 +6537,11 @@ def _logreg_train(spark, sf_dir):
         n = int(row.n)
         if n == 0:  # empty corpus: gradient undefined, keep seed weights
             break
+        # an all-NULL feature row contributes nothing to the gradient
+        # sums (they come back NULL) but still counts in n — coalesce
+        # to a zero gradient rather than crash on int(None)
         w = [
-            w[k] - math.floor(LOGREG_LR * float(int(row[f"g{k}"])) / n)
+            w[k] - math.floor(LOGREG_LR * float(int(row[f"g{k}"] or 0)) / n)
             for k in range(3)
         ]
     _LOGREG_CACHE[key] = tuple(w)
