@@ -250,7 +250,13 @@ def run_wave(
         box = {}
 
         def _get():
-            box["v"] = _cand_obs.get
+            try:
+                box["v"] = _cand_obs.get
+            except Exception:
+                # metrics can be unavailable or unconvertible (seen:
+                # toPyRow assertion on an empty gated wave) — leave the
+                # box empty so the counted fallback below answers
+                pass
 
         t = threading.Thread(target=_get, daemon=True)
         t.start()
