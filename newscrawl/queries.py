@@ -967,18 +967,27 @@ LIMIT 10
 
 def q_lang_id_stopword(spark, sf_dir):
     """Language-ID heuristic: English stopword ratio over whitespace
-    tokens, thresholded — higher-order functions, no UDF."""
+    tokens, thresholded — higher-order functions, no UDF.  The split,
+    the counts and the ratio are staged as columns so each runs once
+    per row (the single-select form re-inlined the split ~6x)."""
     docs = _t(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), r"\s+")
-    n_tok = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    ratio = F.round(n_stop / F.greatest(n_tok, F.lit(1)), 4)
-    return docs.select(
+    staged = docs.withColumn(
+        "_toks", F.split(F.lower(F.col("text")), r"\s+")
+    ).withColumns(
+        {
+            "_nt": F.size(F.col("_toks")),
+            "_ns": F.size(F.filter(F.col("_toks"), _hit(STOPWORDS))),
+        }
+    )
+    ratio = F.round(F.col("_ns") / F.greatest(F.col("_nt"), F.lit(1)), 4)
+    return staged.withColumn("_ratio", ratio).select(
         "doc_id",
-        n_tok.cast("long").alias("n_tokens"),
-        n_stop.cast("long").alias("n_stop"),
-        ratio.alias("stop_ratio"),
-        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("other")).alias("lang_pred"),
+        F.col("_nt").cast("long").alias("n_tokens"),
+        F.col("_ns").cast("long").alias("n_stop"),
+        F.col("_ratio").alias("stop_ratio"),
+        F.when(F.col("_ratio") >= 0.05, F.lit("en"))
+        .otherwise(F.lit("other"))
+        .alias("lang_pred"),
     )
 
 
@@ -1000,21 +1009,27 @@ FROM t
 
 def q_quality_score(spark, sf_dir):
     """Quality scoring: length / token-count / punctuation-ratio
-    composite (training-data filtering heuristic)."""
+    composite (training-data filtering heuristic).  Char/token/punct
+    counts are staged as columns so the split and the regexp run once
+    per row."""
     docs = _t(spark, sf_dir, "documents")
-    n_chars = F.length("text")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    n_tokens = F.size(toks)
-    n_punct = n_chars - F.length(F.regexp_replace(F.col("text"), "[.!?,;:]", ""))
+    staged = docs.withColumns(
+        {
+            "_nc": F.length("text"),
+            "_ntok": F.size(F.split(F.trim(F.col("text")), r"\s+")),
+            "_npunct": F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), "[.!?,;:]", "")),
+        }
+    )
     quality = F.round(
-        (F.least(n_tokens, F.lit(200)) / 200.0)
-        * (F.lit(1.0) - n_punct / F.greatest(n_chars, F.lit(1))),
+        (F.least(F.col("_ntok"), F.lit(200)) / 200.0)
+        * (F.lit(1.0) - F.col("_npunct") / F.greatest(F.col("_nc"), F.lit(1))),
         4,
     )
-    return docs.select(
+    return staged.select(
         "doc_id",
-        n_chars.cast("long").alias("n_chars"),
-        n_tokens.cast("long").alias("n_tokens"),
+        F.col("_nc").cast("long").alias("n_chars"),
+        F.col("_ntok").cast("long").alias("n_tokens"),
         quality.alias("quality"),
     )
 
@@ -2548,22 +2563,64 @@ def _toks():
     return F.split(F.lower(F.col("text")), r"\s+")
 
 
-def _topic_label_col():
-    """Lexicon-hit argmax over the 12 candidate topics; ties (incl. the
-    zero-hit case) resolve to the earliest candidate — the same rule as
-    extract.classify_topic (zero-shot labels[0] analog)."""
-    from .extract import CANDIDATE_TOPICS, _TOPIC_WORDS
+def _hit(words):
+    """Single-arg lambda factory for F.filter (captures the word list)."""
+    return lambda t: t.isin(*words)
 
-    toks = _toks()
-    scores = [
-        F.size(F.filter(toks, lambda t: t.isin(*_TOPIC_WORDS[topic])))
-        for topic in CANDIDATE_TOPICS
-    ]
-    m = F.greatest(*scores)
-    label = F.when(scores[0] == m, F.lit(CANDIDATE_TOPICS[0]))
-    for s, topic in zip(scores[1:], CANDIDATE_TOPICS[1:]):
-        label = label.when(s == m, F.lit(topic))
+
+def _classify_staged(df, topics: bool = True, sentiment: bool = False):
+    """Stage the classify lexicon scores as REAL columns: one `_toks`
+    projection (split runs once per row), then per-topic hit counts
+    `_ts{i}` / sentiment `_pos`/`_neg` each computed once, then `_tmax`.
+    The single-Column form inlined `split(lower(text))` into every
+    score comparison — ~160 evaluations per row in topic_classify's
+    physical plan (plans/r07/topic_classify_before.txt); staging keeps
+    each non-cheap subexpression a named attribute, which CollapseProject
+    provably leaves alone (multi-referenced non-cheap producers).  Tie
+    semantics are unchanged: the label chain below compares the staged
+    scores against the staged max in candidate order."""
+    from .extract import CANDIDATE_TOPICS, _TOPIC_WORDS, NEG_WORDS, POS_WORDS
+
+    staged = df.withColumn("_toks", _toks())
+    cols = {}
+    if topics:
+        for i, topic in enumerate(CANDIDATE_TOPICS):
+            cols[f"_ts{i}"] = F.size(
+                F.filter(F.col("_toks"), _hit(_TOPIC_WORDS[topic]))
+            )
+    if sentiment:
+        cols["_pos"] = F.size(F.filter(F.col("_toks"), _hit(sorted(POS_WORDS))))
+        cols["_neg"] = F.size(F.filter(F.col("_toks"), _hit(sorted(NEG_WORDS))))
+    staged = staged.withColumns(cols)
+    if topics:
+        staged = staged.withColumn(
+            "_tmax",
+            F.greatest(*[F.col(f"_ts{i}") for i in range(len(CANDIDATE_TOPICS))]),
+        )
+    return staged
+
+
+def _topic_label_staged():
+    """Argmax label over the staged `_ts{i}`/`_tmax` columns; ties (incl.
+    the zero-hit case) resolve to the earliest candidate — the same rule
+    as extract.classify_topic (zero-shot labels[0] analog)."""
+    from .extract import CANDIDATE_TOPICS
+
+    label = F.when(F.col("_ts0") == F.col("_tmax"), F.lit(CANDIDATE_TOPICS[0]))
+    for i, topic in enumerate(CANDIDATE_TOPICS[1:], start=1):
+        label = label.when(F.col(f"_ts{i}") == F.col("_tmax"), F.lit(topic))
     return label
+
+
+def _sentiment_staged():
+    """(label, score) columns over the staged `_pos`/`_neg` hit counts —
+    POSITIVE iff pos >= neg, confidence in [0.5, 1]."""
+    pos, neg = F.col("_pos"), F.col("_neg")
+    label = F.when(pos >= neg, F.lit("POSITIVE")).otherwise(F.lit("NEGATIVE"))
+    score = F.round(
+        0.5 + 0.5 * F.abs(pos - neg) / F.greatest(pos + neg, F.lit(1)), 4
+    )
+    return label, score
 
 
 def _sql_topic_label(alias: str = "topic") -> str:
@@ -2582,19 +2639,6 @@ def _sql_topic_label(alias: str = "topic") -> str:
         f"WHEN {s} = {m} THEN '{t}'" for s, t in zip(scores, CANDIDATE_TOPICS)
     )
     return f"CASE {chain} END AS {alias}"
-
-
-def _sentiment_cols():
-    from .extract import NEG_WORDS, POS_WORDS
-
-    toks = _toks()
-    pos = F.size(F.filter(toks, lambda t: t.isin(*sorted(POS_WORDS))))
-    neg = F.size(F.filter(toks, lambda t: t.isin(*sorted(NEG_WORDS))))
-    label = F.when(pos >= neg, F.lit("POSITIVE")).otherwise(F.lit("NEGATIVE"))
-    score = F.round(
-        0.5 + 0.5 * F.abs(pos - neg) / F.greatest(pos + neg, F.lit(1)), 4
-    )
-    return label, score
 
 
 def _sql_sentiment(label_alias="sentiment_label", score_alias="sentiment_score"):
@@ -2618,12 +2662,14 @@ def _sql_sentiment(label_alias="sentiment_label", score_alias="sentiment_score")
 def q_topic_classify(spark, sf_dir):
     """Classify stage per document (reference classifier.py:237-238):
     zero-shot-topic + sentiment stand-ins, one row per doc. Pure JVM
-    higher-order functions — the lexicons compile into the plan."""
+    higher-order functions — the lexicons compile into the plan; the
+    token split and every lexicon score are staged as columns, computed
+    once per row (see _classify_staged)."""
     docs = _t(spark, sf_dir, "documents")
-    label, score = _sentiment_cols()
-    return docs.select(
+    label, score = _sentiment_staged()
+    return _classify_staged(docs, topics=True, sentiment=True).select(
         "doc_id",
-        _topic_label_col().alias("topic"),
+        _topic_label_staged().alias("topic"),
         label.alias("sentiment_label"),
         score.alias("sentiment_score"),
     )
@@ -2643,7 +2689,8 @@ def q_topic_distribution(spark, sf_dir):
     corpus scan; see q_source_distribution for why not crossJoin."""
     docs = _t(spark, sf_dir, "documents")
     agg = (
-        docs.select("doc_id", _topic_label_col().alias("label"))
+        _classify_staged(docs, topics=True)
+        .select("doc_id", _topic_label_staged().alias("label"))
         .groupBy("label")
         .agg(F.count("*").alias("n"), F.min("doc_id").alias("first_doc"))
     )
@@ -2676,9 +2723,10 @@ def q_sentiment_distribution(spark, sf_dir):
     same most_common ordering semantics and single-scan window shape as
     topic_distribution."""
     docs = _t(spark, sf_dir, "documents")
-    label, _score = _sentiment_cols()
+    label, _score = _sentiment_staged()
     agg = (
-        docs.select("doc_id", label.alias("label"))
+        _classify_staged(docs, topics=False, sentiment=True)
+        .select("doc_id", label.alias("label"))
         .groupBy("label")
         .agg(F.count("*").alias("n"), F.min("doc_id").alias("first_doc"))
     )
@@ -2819,14 +2867,15 @@ def q_article_entities(spark, sf_dir):
     first-occurrence order via the shared extract.extract_entities)."""
     from .extract import _ENTITY_WORDS
 
-    docs = _t(spark, sf_dir, "documents")
-    toks = _toks()
+    # stage the token split once; each bucket filter references the
+    # `_toks` attribute instead of re-inlining split(lower(text)) 3x
+    docs = _t(spark, sf_dir, "documents").withColumn("_toks", _toks())
 
     def bucket(words):
         return F.concat_ws(
             ",",
             F.array_sort(
-                F.array_distinct(F.filter(toks, lambda t: t.isin(*words)))
+                F.array_distinct(F.filter(F.col("_toks"), _hit(words)))
             ),
         )
 
@@ -6029,9 +6078,11 @@ def q_pii_redact(spark, sf_dir):
             ),
         ).otherwise(F.lit("")),
     )
+    # redact from the STAGED _aug column (the previous form re-inlined
+    # the aug concat tree inside the redact chain, building it twice)
     red = F.regexp_replace(
         F.regexp_replace(
-            F.regexp_replace(aug, PII_EMAIL_RE, "<EMAIL>"),
+            F.regexp_replace(F.col("_aug"), PII_EMAIL_RE, "<EMAIL>"),
             PII_IP_RE,
             "<IP>",
         ),
@@ -6042,8 +6093,8 @@ def q_pii_redact(spark, sf_dir):
         docs.select(
             "doc_id",
             aug.alias("_aug"),
-            red.alias("_red"),
         )
+        .withColumn("_red", red)
         .select(
             "doc_id",
             F.regexp_count(F.col("_aug"), F.lit(PII_EMAIL_RE)).alias("n_email"),
@@ -6099,8 +6150,8 @@ C4_MIN_WORDS = 5
 C4_BOILER = ("cookie", "subscribe", "read more")
 
 
-def _c4_line_exprs_spark(docs):
-    toks = F.split(F.col("text"), " ")
+def _c4_line_exprs_spark(docs, toks=None):
+    toks = F.split(F.col("text"), " ") if toks is None else toks
     lines = [
         F.lit("Home | News | Sports"),
         F.concat(
@@ -6131,48 +6182,71 @@ def q_c4_line_filter(spark, sf_dir):
     Outputs the per-rule drop counts (the audit trail, as in
     q_quality_prune_pipeline) and the kept-text fingerprint."""
     docs = _t(spark, sf_dir, "documents")
-    lines = _c4_line_exprs_spark(docs)
-
-    def wc(l):
-        return F.when(l == "", F.lit(0)).otherwise(F.size(F.split(l, " ")))
-
-    def boiler(l):
+    # STAGED evaluation (see _classify_staged's rationale): the line
+    # expressions each contain split+slice+array_join over the text and
+    # were re-inlined ~10x apiece across keep/short/nopunct/boiler/
+    # kept_text in the single-Project form. Stage each line as a column,
+    # then its word count / terminal-punct / boilerplate flags as
+    # columns, so every non-cheap subexpression runs once per row.
+    docs = docs.withColumn("_c4toks", F.split(F.col("text"), " "))
+    docs = docs.withColumns(
+        {
+            f"_l{i}": e
+            for i, e in enumerate(
+                _c4_line_exprs_spark(docs, toks=F.col("_c4toks"))
+            )
+        }
+    )
+    n_slots = 5
+    per_line = {}
+    for i in range(n_slots):
+        l = F.col(f"_l{i}")
         low = F.lower(l)
-        e = F.lit(False)
+        boiler_e = F.lit(False)
         for p in C4_BOILER:
-            e = e | low.contains(p)
-        return e
+            boiler_e = boiler_e | low.contains(p)
+        per_line[f"_wc{i}"] = F.when(l == "", F.lit(0)).otherwise(
+            F.size(F.split(l, " "))
+        )
+        per_line[f"_punct{i}"] = F.substring(l, -1, 1) == "."
+        per_line[f"_boil{i}"] = boiler_e
+    docs = docs.withColumns(per_line)
 
-    def keep(l):
+    lines = [F.col(f"_l{i}") for i in range(n_slots)]
+
+    def wc(i):
+        return F.col(f"_wc{i}")
+
+    def keep(i):
         return (
-            (wc(l) >= C4_MIN_WORDS)
-            & (F.substring(l, -1, 1) == ".")
-            & ~boiler(l)
+            (wc(i) >= C4_MIN_WORDS) & F.col(f"_punct{i}") & ~F.col(f"_boil{i}")
         )
 
     nonempty = [F.when(l != "", 1).otherwise(0) for l in lines]
-    kept = [F.when(keep(l), 1).otherwise(0) for l in lines]
+    kept = [F.when(keep(i), 1).otherwise(0) for i in range(n_slots)]
     short = [
-        F.when((l != "") & (wc(l) < C4_MIN_WORDS), 1).otherwise(0)
-        for l in lines
+        F.when((lines[i] != "") & (wc(i) < C4_MIN_WORDS), 1).otherwise(0)
+        for i in range(n_slots)
     ]
     nopunct = [
-        F.when(
-            (wc(l) >= C4_MIN_WORDS) & (F.substring(l, -1, 1) != "."), 1
-        ).otherwise(0)
-        for l in lines
+        F.when((wc(i) >= C4_MIN_WORDS) & ~F.col(f"_punct{i}"), 1).otherwise(0)
+        for i in range(n_slots)
     ]
     boil = [
         F.when(
-            (wc(l) >= C4_MIN_WORDS)
-            & (F.substring(l, -1, 1) == ".")
-            & boiler(l),
+            (wc(i) >= C4_MIN_WORDS)
+            & F.col(f"_punct{i}")
+            & F.col(f"_boil{i}"),
             1,
         ).otherwise(0)
-        for l in lines
+        for i in range(n_slots)
     ]
     kept_text = F.concat_ws(
-        "\n", *[F.when(keep(l), l).otherwise(F.lit(None)) for l in lines]
+        "\n",
+        *[
+            F.when(keep(i), lines[i]).otherwise(F.lit(None))
+            for i in range(n_slots)
+        ],
     )
     s = lambda xs: sum(xs[1:], xs[0])  # noqa: E731
     n_lines, n_kept = s(nonempty), s(kept)
