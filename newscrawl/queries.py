@@ -849,41 +849,61 @@ def q_near_dup_clusters(spark, sf_dir, docs=None):
     # brought its own frame (latent until corpus_prepare_crawled, whose
     # docs are crawled articles, not the sf documents table)
     pairs = q_minhash_lsh_candidates(spark, sf_dir, docs=docs)
-    edges = pairs.unionByName(
-        pairs.select(
-            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+    edges = (
+        pairs.unionByName(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
         )
-    ).persist()
+        # partition the persisted edge list by the probe key once: every
+        # round's join keys edges.doc_a against labels.doc_id, and the
+        # round output is already doc_id-partitioned by its groupBy, so
+        # the loop's joins shuffle nothing new (guide §2.4)
+        .repartition("doc_a")
+        .persist()
+    )
     labels = edges.select(F.col("doc_a").alias("doc_id")).distinct().withColumn(
         "label", F.col("doc_id")
     )
-
-    def propagate(lbls):
-        msgs = edges.join(
-            lbls, edges.doc_a == lbls.doc_id, "inner"
-        ).select(F.col("doc_b").alias("doc_id"), "label")
-        return (
-            lbls.unionByName(msgs)
-            .groupBy("doc_id")
-            .agg(F.min("label").alias("label"))
-        )
 
     # One propagation round per materialized step (a lazily-chained
     # multi-round block was tried and LOST: the un-cached intermediate
     # rounds compound into one deep multi-join DAG that re-shuffles
     # everything, 6.5 -> 9.4 s).  localCheckpoint per round cuts the
     # lineage so round N's plan never re-reads round N-1's shuffles.
+    # The convergence check rides the SAME job as the checkpoint via an
+    # Observation over `label != old label` (the old label is carried
+    # through the aggregation as min over each doc's single own-row):
+    # the previous join+count convergence probe was a second Spark job
+    # per round (2.7 s -> 1.45 s measured, identical output).
+    from pyspark.sql import Observation
+
     for _round in range(24):  # >= any near-dup component diameter
-        new_labels = propagate(labels).localCheckpoint()
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("label", "_old"), "doc_id"
-            )
-            .filter(F.col("label") != F.col("_old"))
-            .count()
+        msgs = edges.join(
+            labels, edges.doc_a == labels.doc_id, "inner"
+        ).select(
+            F.col("doc_b").alias("doc_id"),
+            "label",
+            F.lit(None).cast("long").alias("_own"),
         )
+        _obs = Observation(f"ndc_{_round}_{id(labels)}")
+        new_labels = (
+            labels.select("doc_id", "label", F.col("label").alias("_own"))
+            .unionByName(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"), F.min("_own").alias("_old"))
+            .observe(
+                _obs,
+                F.sum(
+                    (F.col("label") != F.col("_old")).cast("long")
+                ).alias("changed"),
+            )
+            .select("doc_id", "label")
+            .localCheckpoint()
+        )
+        changed = _obs.get["changed"]
         labels = new_labels
-        if changed == 0:
+        if not changed:
             break
     else:  # pragma: no cover
         raise RuntimeError("label propagation did not converge in 24 rounds")
@@ -1060,25 +1080,9 @@ def q_knn_ivf(spark, sf_dir):
         emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= 8))
         .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec"))
     )
-
-    def dot(u, v):
-        return F.aggregate(
-            F.zip_with(u, v, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    cos = dot(F.col("embedding"), F.col("cvec")) / (
-        F.sqrt(dot(F.col("embedding"), F.col("embedding")))
-        * F.sqrt(dot(F.col("cvec"), F.col("cvec")))
-    )
-    w = W.partitionBy("vec_id").orderBy(F.round(cos, 6).desc(), F.col("cent_id"))
-    assigned = (
-        emb.crossJoin(F.broadcast(cents))
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .select("vec_id", "embedding", F.col("cent_id").alias("bucket"))
-    )
+    # norms staged once per side (see _assign_to_centroids); the search
+    # below reuses the staged vector norm for the query-cosine too
+    assigned = _assign_to_centroids(emb.select("vec_id", "embedding"), cents)
     qrow = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).head()
     if qrow is None:  # empty corpus / absent query vector -> empty top-k
         return spark.createDataFrame([], "vec_id bigint, cosine double")
@@ -1086,8 +1090,8 @@ def q_knn_ivf(spark, sf_dir):
     qbucket = (
         assigned.filter(F.col("vec_id") == 0).select("bucket").head()["bucket"]
     )
-    qcos = dot(F.col("embedding"), qlit) / (
-        F.sqrt(dot(F.col("embedding"), F.col("embedding"))) * F.sqrt(dot(qlit, qlit))
+    qcos = _emb_dot(F.col("embedding"), qlit) / (
+        F.col("_ne") * F.sqrt(_emb_dot(qlit, qlit))
     )
     return (
         assigned.filter((F.col("bucket") == qbucket) & (F.col("vec_id") != 0))
@@ -1158,15 +1162,21 @@ def _ivf_ranked(spark, sf_dir):
     cached = _IVF_CACHE.get(key)
     if cached is not None:
         return cached
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "_ne", F.sqrt(_emb_dot(F.col("embedding"), F.col("embedding")))
+    )
     cents = emb.filter(
         (F.col("vec_id") >= 1) & (F.col("vec_id") <= 8)
     ).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cvec"),
+        F.col("_ne").alias("_nc"),
     )
+    # norms staged per side before the crossJoin (computed once per
+    # vector/centroid, not per pair); the persisted frame keeps _ne so
+    # _multiprobe_top's query-cosine reuses it
     cos = _emb_dot(F.col("embedding"), F.col("cvec")) / (
-        F.sqrt(_emb_dot(F.col("embedding"), F.col("embedding")))
-        * F.sqrt(_emb_dot(F.col("cvec"), F.col("cvec")))
+        F.col("_ne") * F.col("_nc")
     )
     w = W.partitionBy("vec_id").orderBy(
         F.round(cos, 6).desc(), F.col("cent_id")
@@ -1196,12 +1206,12 @@ def _multiprobe_top(spark, sf_dir, ranked, probes: int):
     if qrow is None:  # empty corpus / absent query vector -> empty top-k
         return spark.createDataFrame([], "vec_id bigint, cos_raw double")
     qlit = F.array(*[F.lit(float(x)) for x in qrow["embedding"]])
+    # reuse the staged vector norm from the persisted ranked frame
     qcos = _emb_dot(F.col("embedding"), qlit) / (
-        F.sqrt(_emb_dot(F.col("embedding"), F.col("embedding")))
-        * F.sqrt(_emb_dot(qlit, qlit))
+        F.col("_ne") * F.sqrt(_emb_dot(qlit, qlit))
     )
     assigned = ranked.filter(F.col("rnk") == 1).select(
-        "vec_id", "embedding", F.col("cent_id").alias("bucket")
+        "vec_id", "embedding", F.col("cent_id").alias("bucket"), "_ne"
     )
     return (
         assigned.filter(
@@ -1965,21 +1975,18 @@ def q_knn_label_majority(spark, sf_dir):
     on their labels (ties break to the smaller label id). Brute-force
     pairs pruned by the query-side filter; at corpus scale the
     neighbor search swaps to the IVF path (q_knn_ivf) unchanged."""
-    emb = _t(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 20).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    # norms staged once per side before the crossJoin (20x fewer
+    # self-dot folds than inlining them into the pair cosine)
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "_ne", F.sqrt(_emb_dot(F.col("embedding"), F.col("embedding")))
     )
-
-    def dot(u, v):
-        return F.aggregate(
-            F.zip_with(u, v, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    cos = dot(F.col("embedding"), F.col("qv")) / (
-        F.sqrt(dot(F.col("embedding"), F.col("embedding")))
-        * F.sqrt(dot(F.col("qv"), F.col("qv")))
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("_ne").alias("_nq"),
+    )
+    cos = _emb_dot(F.col("embedding"), F.col("qv")) / (
+        F.col("_ne") * F.col("_nq")
     )
     w = W.partitionBy("qid").orderBy(F.round(cos, 6).desc(), F.col("vec_id"))
     neighbors = (
@@ -2054,30 +2061,16 @@ def q_kmeans_step(spark, sf_dir):
     assignment as q_knn_ivf), then recompute each centroid as the
     per-dimension mean of its bucket. Output exploded (bucket, dim,
     value) so the oracle compares scalars. Assignment is a broadcast
-    join + argmax; the update is one groupBy — both 100-TB shapes."""
+    join + argmax; the update is one groupBy — both 100-TB shapes.
+    Shares _assign_to_centroids (norms staged once per side, not per
+    pair)."""
     emb = _t(spark, sf_dir, "embeddings")
     cents = (
         emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= 8))
         .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec"))
     )
-
-    def dot(u, v):
-        return F.aggregate(
-            F.zip_with(u, v, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    cos = dot(F.col("embedding"), F.col("cvec")) / (
-        F.sqrt(dot(F.col("embedding"), F.col("embedding")))
-        * F.sqrt(dot(F.col("cvec"), F.col("cvec")))
-    )
-    w = W.partitionBy("vec_id").orderBy(F.round(cos, 6).desc(), F.col("cent_id"))
-    assigned = (
-        emb.crossJoin(F.broadcast(cents))
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") == 1)
-        .select("vec_id", "embedding", F.col("cent_id").alias("bucket"))
+    assigned = _assign_to_centroids(
+        emb.select("vec_id", "embedding"), cents
     )
     return (
         assigned.select(
@@ -2139,17 +2132,27 @@ def _vec_dot(u, v):
 def _assign_to_centroids(emb, cents_df):
     """argmax-cosine bucket assignment: broadcast K centroids, rank by
     round(cos,6) desc with cent_id tie-break (the shared shape of
-    kmeans_step / knn_ivf / the training loop)."""
+    kmeans_step / knn_ivf / the training loop).  Both sides' norms are
+    staged BEFORE the crossJoin — sqrt(dot(v,v)) is computed once per
+    vector / centroid instead of once per (vector, centroid) pair
+    (cos = dot/(norm_e*norm_c) is float-identical either way).  The
+    output carries ``_ne`` (the vector norm) so downstream query-cosine
+    scoring reuses it."""
+    emb_n = emb.withColumn(
+        "_ne", F.sqrt(_vec_dot(F.col("embedding"), F.col("embedding")))
+    )
+    cents_n = cents_df.withColumn(
+        "_nc", F.sqrt(_vec_dot(F.col("cvec"), F.col("cvec")))
+    )
     cos = _vec_dot(F.col("embedding"), F.col("cvec")) / (
-        F.sqrt(_vec_dot(F.col("embedding"), F.col("embedding")))
-        * F.sqrt(_vec_dot(F.col("cvec"), F.col("cvec")))
+        F.col("_ne") * F.col("_nc")
     )
     w = W.partitionBy("vec_id").orderBy(F.round(cos, 6).desc(), F.col("cent_id"))
     return (
-        emb.crossJoin(F.broadcast(cents_df))
+        emb_n.crossJoin(F.broadcast(cents_n))
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") == 1)
-        .select("vec_id", "embedding", F.col("cent_id").alias("bucket"))
+        .select("vec_id", "embedding", F.col("cent_id").alias("bucket"), "_ne")
     )
 
 
@@ -2279,9 +2282,9 @@ def q_knn_ivf_trained(spark, sf_dir):
         return spark.createDataFrame([], "vec_id bigint, cosine double")
     qlit = F.array(*[F.lit(float(x)) for x in qrow["embedding"]])
     qbucket = assigned.filter(F.col("vec_id") == 0).select("bucket").head()["bucket"]
+    # reuse the vector norm staged by _assign_to_centroids
     qcos = _vec_dot(F.col("embedding"), qlit) / (
-        F.sqrt(_vec_dot(F.col("embedding"), F.col("embedding")))
-        * F.sqrt(_vec_dot(qlit, qlit))
+        F.col("_ne") * F.sqrt(_vec_dot(qlit, qlit))
     )
     return (
         assigned.filter((F.col("bucket") == qbucket) & (F.col("vec_id") != 0))
@@ -3461,6 +3464,13 @@ def q_pagerank_sources(spark, sf_dir):
             "dst",
             (F.col("w").cast("double") / F.col("wsum")).alias("frac"),
         )
+        # partition the (persisted) edge list by dst ONCE: every power
+        # iteration's groupBy("dst") then reuses this partitioning
+        # (broadcast joins are narrow), so the loop runs zero Exchanges
+        # per round instead of one (guide §2.4 — two operations keyed
+        # the same way share one exchange). One extra small shuffle at
+        # build time buys PAGERANK_ITERS shuffle-free rounds.
+        .repartition("dst")
         .persist()
     )
     frac.count()
@@ -3476,8 +3486,15 @@ def q_pagerank_sources(spark, sf_dir):
     ranks = nodes.select(
         "node",
         (F.round(F.lit(1.0) / F.lit(float(n)), 6) + F.lit(0.0)).alias("rank"),
-    ).localCheckpoint()
-    for _ in range(PAGERANK_ITERS):
+    )
+    # Rounds compose LAZILY and localCheckpoint fires only every 4th
+    # iteration: a checkpoint per round cost one eager job + an RDD
+    # materialization each (35 Spark jobs for the whole query — measured
+    # 2.9 s); a 4-round lazy block is still a shallow bounded plan (the
+    # 6-dp quantization keeps the trajectory identical), and the
+    # dst-partitioned frac makes each round Exchange-free (measured
+    # 1.7 s, identical output).
+    for k in range(1, PAGERANK_ITERS + 1):
         inflow = (
             frac.join(F.broadcast(ranks), frac.src == ranks.node)
             .groupBy("dst")
@@ -3496,8 +3513,11 @@ def q_pagerank_sources(spark, sf_dir):
                     + F.lit(0.0)
                 ).alias("rank"),
             )
-            .localCheckpoint()
         )
+        if k % 4 == 0 or k == PAGERANK_ITERS:
+            # the final round MUST checkpoint: frac/nodes unpersist
+            # below, and the returned frame may be evaluated after that
+            ranks = ranks.localCheckpoint()
     # the final ranks frame reads only its checkpoint — release the
     # loop-scoped caches so repeated evaluations don't pin executor memory
     frac.unpersist()
