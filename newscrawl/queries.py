@@ -492,10 +492,16 @@ CASE WHEN len(string_split_regex(lower(text), '\\s+')) >= 3
 """
 
 
+# shingle-set frame, one persisted copy per (session, corpus) — the
+# _SIG_CACHE pattern (defined below; both verifiers join it TWICE, once
+# per pair side, so an uncached kernel ran twice per query evaluation)
+_SHINGLE_CACHE: dict[tuple[str, str], object] = {}
+
+
 def _shingle_sized(spark, sf_dir):
     """(doc_id, sh, n_sh): distinct word-3-gram shingle sets per doc via
     one Arrow kernel over the scan — shared by the Jaccard and
-    containment verifiers."""
+    containment verifiers (and by both join sides within each)."""
     import re
 
     import pandas as pd
@@ -520,11 +526,18 @@ def _shingle_sized(spark, sf_dir):
             out["sh"] = shs
             yield out
 
-    return (
-        _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
-        .mapInPandas(shingle_kernel, schema="doc_id long, sh array<string>")
-        .withColumn("n_sh", F.size("sh"))
-    )
+    _evict_stale(_SHINGLE_CACHE, spark)
+    key = (_session_key(spark), sf_dir)
+    cached = _SHINGLE_CACHE.get(key)
+    if cached is None:
+        cached = (
+            _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+            .mapInPandas(shingle_kernel, schema="doc_id long, sh array<string>")
+            .withColumn("n_sh", F.size("sh"))
+            .persist()
+        )
+        _SHINGLE_CACHE[key] = cached
+    return cached
 
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
@@ -586,6 +599,39 @@ WHERE inter / (na + nb - inter) >= {JACCARD_THRESHOLD}
 # _KMEANS_CACHE.  Callers that bring their own docs frame manage their
 # own persistence.
 _SIG_CACHE: dict[tuple[str, str], object] = {}
+
+# The exploded corpus token stream — (doc_id, lang, term), whitespace
+# split of lower(trim(text)), empty tokens dropped — is the shared
+# input of every unigram-statistics operator (tf-idf, BM25, surprisal/
+# CCNet, NB lang-ID, DSIR, lexical diversity, Zipf, PMI's unigram leg,
+# the inverted index).  Each previously re-ran the tokenize+explode
+# scan once per BRANCH per query (DataFrame branches don't share
+# subplans).  One persisted frame per (session, corpus) serves them
+# all — the materialize-the-tokenized-corpus-once step every real LLM
+# data pipeline runs before its statistics passes.  (trim vs no-trim
+# is immaterial after the empty-token filter: leading/trailing
+# whitespace only ever contributes empty tokens.)
+_TERMS_CACHE: dict[tuple[str, str], object] = {}
+
+
+def _terms(spark, sf_dir):
+    _evict_stale(_TERMS_CACHE, spark)
+    key = (_session_key(spark), sf_dir)
+    cached = _TERMS_CACHE.get(key)
+    if cached is None:
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+        cached = docs.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                    lambda t: t != "",
+                )
+            ).alias("term"),
+        ).persist()
+        _TERMS_CACHE[key] = cached
+    return cached
 
 
 def _session_key(spark) -> str:
@@ -1494,6 +1540,11 @@ FROM documents
 """
 
 
+# simhash signature frame, one persisted copy per (session, corpus) —
+# the _SIG_CACHE pattern (q_simhash_near_dup self-joins it)
+_SIMHASH_CACHE: dict[tuple[str, str], object] = {}
+
+
 def q_simhash(spark, sf_dir):
     """SimHash document signature over word-3-gram shingles: per bit b of
     md5(shingle)'s first 64 bits, sign-sum across shingles; bit=1 iff
@@ -1542,9 +1593,21 @@ def q_simhash(spark, sf_dir):
                 }
             )
 
-    return _spread(
-        _t(spark, sf_dir, "documents").select("doc_id", "text")
-    ).mapInPandas(kernel, schema="doc_id long, simhash string")
+    # one persisted signature frame per (session, corpus) — the
+    # _SIG_CACHE pattern: the md5 kernel is the cost, and
+    # q_simhash_near_dup's banded self-join otherwise evaluates it once
+    # per join SIDE (DataFrame branches don't share subplans)
+    _evict_stale(_SIMHASH_CACHE, spark)
+    key = (_session_key(spark), sf_dir)
+    cached = _SIMHASH_CACHE.get(key)
+    if cached is None:
+        cached = (
+            _spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+            .mapInPandas(kernel, schema="doc_id long, simhash string")
+            .persist()
+        )
+        _SIMHASH_CACHE[key] = cached
+    return cached
 
 
 def _sql_simhash() -> str:
@@ -2366,9 +2429,7 @@ def q_tfidf_top_terms(spark, sf_dir):
     every knn query here)."""
     docs = _t(spark, sf_dir, "documents")
     n_docs = docs.count()  # one scalar — the oracle's (SELECT count(*))
-    terms = docs.select(
-        "doc_id", F.explode(_toks()).alias("term")
-    ).filter(F.col("term") != "")
+    terms = _terms(spark, sf_dir).select("doc_id", "term")
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_ = terms.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
     tfidf = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
@@ -2420,10 +2481,7 @@ def q_unigram_surprisal(spark, sf_dir):
     and boilerplate (high = rare tokens, low = stopword soup). The
     unigram model is the corpus itself: p(term) = count(term)/total.
     Vocabulary table broadcasts; one explode + two hash aggs."""
-    docs = _t(spark, sf_dir, "documents")
-    terms = docs.select(
-        "doc_id", F.explode(_toks()).alias("term")
-    ).filter(F.col("term") != "")
+    terms = _terms(spark, sf_dir).select("doc_id", "term")
     vocab = terms.groupBy("term").agg(F.count("*").alias("cnt"))
     # one scalar; `or 1` keeps the (vacuously empty) plan valid on a
     # zero-row corpus, where sum(cnt) aggregates to NULL
@@ -4064,16 +4122,8 @@ def q_dsir_importance(spark, sf_dir):
     Shapes: two conditional-sum aggregations over one token explode
     build the log-ratio table (vocabulary cardinality); scoring is one
     join on term + one per-doc mean."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
-    toks = docs.select(
-        "doc_id",
-        (F.col("doc_id") % 29 == 0).alias("is_target"),
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
-                lambda t: t != "",
-            )
-        ).alias("term"),
+    toks = _terms(spark, sf_dir).select(
+        "doc_id", (F.col("doc_id") % 29 == 0).alias("is_target"), "term"
     )
     counts = toks.groupBy("term").agg(
         F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
@@ -4137,16 +4187,9 @@ def q_zipf_fit(spark, sf_dir):
     ~ -1; generated/template text bends the curve — this single row is
     the cheapest corpus-health check a data pipeline runs.  One token
     aggregation + a 100-row window and reduce."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
     terms = (
-        docs.select(
-            F.explode(
-                F.filter(
-                    F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
-                    lambda t: t != "",
-                )
-            ).alias("term")
-        )
+        _terms(spark, sf_dir)
+        .select("term")
         .groupBy("term")
         .agg(F.count("*").alias("cnt"))
     )
@@ -5037,8 +5080,11 @@ def q_bigram_lm_perplexity(spark, sf_dir):
     # from the vocabulary-sized aggregate instead of re-aggregating the
     # full bigram stream: one corpus-wide shuffle, not two
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    # vocabulary from the shared tokenized-corpus frame (same stream:
+    # bigram's toks are the identical non-empty filtered split)
     vocab = (
-        docs.select(F.explode(toks).alias("w"))
+        _terms(spark, sf_dir)
+        .select(F.col("term").alias("w"))
         .agg(F.count_distinct("w").alias("v"))
     )
     model = c12.join(c1, "w1").crossJoin(F.broadcast(vocab)).select(
@@ -5199,10 +5245,7 @@ def q_bm25_topk(spark, sf_dir):
     addition order is nondeterministic).  At 100 TB the query-term
     filter prunes the explode to postings for 3 terms, and the top-k is
     a TakeOrdered, not a global sort."""
-    docs = _t(spark, sf_dir, "documents")
-    terms = docs.select(
-        "doc_id", F.explode(_toks()).alias("term")
-    ).filter(F.col("term") != "")
+    terms = _terms(spark, sf_dir).select("doc_id", "term")
     dl = terms.groupBy("doc_id").agg(F.count("*").alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n"), F.sum("dl").alias("tot")
@@ -5295,10 +5338,7 @@ def q_lexical_diversity(spark, sf_dir):
     runs as an ordered fold over the SORTED per-doc term-count list
     (F.aggregate == DuckDB list_sum, both left-to-right), because a
     groupBy float sum has nondeterministic addition order."""
-    docs = _t(spark, sf_dir, "documents")
-    terms = docs.select(
-        "doc_id", F.explode(_toks()).alias("term")
-    ).filter(F.col("term") != "")
+    terms = _terms(spark, sf_dir).select("doc_id", "term")
     counts = terms.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
     per_doc = counts.groupBy("doc_id").agg(
         F.sum("c").alias("n_tokens"),
@@ -5379,8 +5419,13 @@ def q_pmi_cooccurrence(spark, sf_dir):
             ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
         ).alias("b")
     ).select("b.w1", "b.w2")
-    uni = toked.select(F.explode(tcol).alias("w")).groupBy("w").agg(
-        F.count("*").alias("cu")
+    # unigram leg from the shared tokenized-corpus frame (_terms); the
+    # bigram leg keeps its per-doc ordered arrays
+    uni = (
+        _terms(spark, sf_dir)
+        .select(F.col("term").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cu"))
     )
     # `or 1` keeps the (vacuously empty) plan valid on a zero-row
     # corpus, where the totals aggregate to NULL
@@ -5494,6 +5539,11 @@ FROM (
 N_SRP_BITS = 8
 
 
+# SRP (vec_id, bucket) frame, one persisted copy per (session, corpus)
+# — the _SIG_CACHE pattern
+_SRP_CACHE: dict[tuple[str, str], object] = {}
+
+
 def _srp_signs(j: int, dim: int) -> list[int]:
     """Deterministic +-1 projection row j: sign from the parity of the
     first hex nibble of md5(f'{j}|{d}') — the same derivation the SQL
@@ -5517,34 +5567,41 @@ def q_srp_lsh_candidates(spark, sf_dir):
     projection sum is an ordered fold over the dimension index
     (F.aggregate == DuckDB list_sum, both left-to-right), so the sign
     never diverges between engines.  One scan + one equi-join on the
-    bucket key; no pairwise anything."""
-    emb = _t(spark, sf_dir, "embeddings")
-    # dimension from one sampled row (the projection sign tables are
-    # dim-sized literals). Empty table -> empty candidates, not a
-    # TypeError on None; EMB_DIM pins the whole table to the sampled
-    # row's dimension — a ragged vector would silently hash wrong, so
-    # fail loudly instead.
-    _first = emb.select("embedding").first()
-    if _first is None or _first[0] is None:
-        return emb.sparkSession.createDataFrame(
-            [], "vec_a long, vec_b long, bucket string"
-        )
-    dim = len(_first[0])
-    assert dim == EMB_DIM, f"embedding dim {dim} != schema EMB_DIM {EMB_DIM}"
-    bits = []
-    for j in range(N_SRP_BITS):
-        signs = F.array(*[F.lit(float(v)) for v in _srp_signs(j, dim)])
-        proj = F.aggregate(
-            F.zip_with(
-                F.col("embedding"), signs, lambda x, sgn: x.cast("double") * sgn
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-    keyed = emb.select(
-        "vec_id", F.concat(*bits).alias("bucket")
-    )
+    bucket key; no pairwise anything.  The keyed (vec_id, bucket) frame
+    — 16 interpreted projection folds per vector — is persisted once per
+    (session, corpus) like _SIG_CACHE: it feeds BOTH sides of the
+    self-join here plus q_srp_near_dup's candidate leg."""
+    _evict_stale(_SRP_CACHE, spark)
+    _ck = (_session_key(spark), sf_dir)
+    keyed = _SRP_CACHE.get(_ck)
+    if keyed is None:
+        emb = _t(spark, sf_dir, "embeddings")
+        # dimension from one sampled row (the projection sign tables are
+        # dim-sized literals). Empty table -> empty candidates, not a
+        # TypeError on None; EMB_DIM pins the whole table to the sampled
+        # row's dimension — a ragged vector would silently hash wrong, so
+        # fail loudly instead.
+        _first = emb.select("embedding").first()
+        if _first is None or _first[0] is None:
+            return emb.sparkSession.createDataFrame(
+                [], "vec_a long, vec_b long, bucket string"
+            )
+        dim = len(_first[0])
+        assert dim == EMB_DIM, f"embedding dim {dim} != schema EMB_DIM {EMB_DIM}"
+        bits = []
+        for j in range(N_SRP_BITS):
+            signs = F.array(*[F.lit(float(v)) for v in _srp_signs(j, dim)])
+            proj = F.aggregate(
+                F.zip_with(
+                    F.col("embedding"), signs,
+                    lambda x, sgn: x.cast("double") * sgn,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+        keyed = emb.select("vec_id", F.concat(*bits).alias("bucket")).persist()
+        _SRP_CACHE[_ck] = keyed
     a = keyed.alias("a")
     b = keyed.alias("b")
     return (
@@ -5597,9 +5654,6 @@ def q_srp_near_dup(spark, sf_dir):
     exact check touches candidates only.  Dot products are ordered folds
     (F.aggregate/zip_with == DuckDB list_dot_product)."""
     cands = q_srp_lsh_candidates(spark, sf_dir).select("vec_a", "vec_b")
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
-    )
 
     def dot(u, v):
         return F.aggregate(
@@ -5608,13 +5662,30 @@ def q_srp_near_dup(spark, sf_dir):
             lambda acc, x: acc + x,
         )
 
+    # vector norms staged once per side before the pair join (cos =
+    # dot/(na*nb) is float-identical to the inlined sqrt(dot) pair form)
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    ).withColumn("_n", F.sqrt(dot(F.col("e"), F.col("e"))))
     j = (
-        cands.join(emb.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea")), "vec_a")
-        .join(emb.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb")), "vec_b")
+        cands.join(
+            emb.select(
+                F.col("vec_id").alias("vec_a"),
+                F.col("e").alias("ea"),
+                F.col("_n").alias("_na"),
+            ),
+            "vec_a",
+        )
+        .join(
+            emb.select(
+                F.col("vec_id").alias("vec_b"),
+                F.col("e").alias("eb"),
+                F.col("_n").alias("_nb"),
+            ),
+            "vec_b",
+        )
     )
-    cos = dot(F.col("ea"), F.col("eb")) / (
-        F.sqrt(dot(F.col("ea"), F.col("ea"))) * F.sqrt(dot(F.col("eb"), F.col("eb")))
-    )
+    cos = dot(F.col("ea"), F.col("eb")) / (F.col("_na") * F.col("_nb"))
     return (
         j.select("vec_a", "vec_b", cos.alias("_c"))
         .filter(F.round(F.col("_c"), 6) >= F.lit(SRP_NEAR_DUP_COS))
@@ -5764,11 +5835,9 @@ def q_nb_lang_classifier(spark, sf_dir):
     matters at 100 TB; on real multilingual text the same plan
     separates languages."""
     docs = _t(spark, sf_dir, "documents")
-    terms = docs.select(
-        "doc_id",
-        F.col("lang").alias("lang_true"),
-        F.explode(_toks()).alias("w"),
-    ).filter(F.col("w") != "")
+    terms = _terms(spark, sf_dir).select(
+        "doc_id", F.col("lang").alias("lang_true"), F.col("term").alias("w")
+    )
     dw = terms.groupBy("doc_id", "lang_true", "w").agg(
         F.count("*").alias("m")
     )
@@ -5781,15 +5850,33 @@ def q_nb_lang_classifier(spark, sf_dir):
     tot = cws.groupBy("cls").agg(F.sum("c").alias("t"))
     v = int(terms.select("w").distinct().count())
     n = int(docs.count())
-    model = cls.join(tot, "cls")
+    # Precompute the per-(class, term) log-probability ONCE in the
+    # vocabulary-sized model table instead of re-evaluating log((c+1)/
+    # (t+v)) inside the fold for every (doc, class, term) occurrence:
+    # same integers, same division, same log — bit-identical doubles —
+    # and the sort key (w unique per group) fixes the same fold order.
+    model = cls.join(tot, "cls").withColumn(
+        "lp0",
+        F.log(F.lit(1.0) / (F.col("t") + F.lit(v)).cast("double")),
+    )
+    cws_lp = cws.join(tot, "cls").select(
+        "cls",
+        "w",
+        F.log(
+            (F.col("c") + F.lit(1)).cast("double")
+            / (F.col("t") + F.lit(v)).cast("double")
+        ).alias("lp"),
+    )
     scored = (
         dw.crossJoin(F.broadcast(model))
-        .join(F.broadcast(cws), ["cls", "w"], "left")
-        .groupBy("doc_id", "lang_true", "cls", "n_docs", "t")
+        .join(F.broadcast(cws_lp), ["cls", "w"], "left")
+        .groupBy("doc_id", "lang_true", "cls", "n_docs")
         .agg(
             F.sort_array(
                 F.collect_list(
-                    F.struct("w", "m", F.coalesce("c", F.lit(0)).alias("c"))
+                    F.struct(
+                        "w", "m", F.coalesce("lp", F.col("lp0")).alias("lp")
+                    )
                 )
             ).alias("wc")
         )
@@ -5802,12 +5889,7 @@ def q_nb_lang_classifier(spark, sf_dir):
                 + F.aggregate(
                     F.col("wc"),
                     F.lit(0.0),
-                    lambda acc, x: acc
-                    + x["m"].cast("double")
-                    * F.log(
-                        (x["c"] + F.lit(1)).cast("double")
-                        / (F.col("t") + F.lit(v)).cast("double")
-                    ),
+                    lambda acc, x: acc + x["m"].cast("double") * x["lp"],
                 )
             ).alias("score"),
         )
@@ -5881,10 +5963,9 @@ def q_inverted_index(spark, sf_dir):
     per-term top-k runs as a ranked Window (WindowGroupLimit prunes to
     k per term before the final shuffle); postings order inside the
     list is deterministic by construction."""
-    docs = _t(spark, sf_dir, "documents")
     tf = (
-        docs.select("doc_id", F.explode(_toks()).alias("term"))
-        .filter(F.col("term") != "")
+        _terms(spark, sf_dir)
+        .select("doc_id", "term")
         .groupBy("term", "doc_id")
         .agg(F.count("*").alias("tf"))
     )
@@ -5970,14 +6051,22 @@ def q_edit_distance_verify(spark, sf_dir):
             "doc_b",
         )
     )
-    lev = F.levenshtein("ta", "tb")
-    norm = lev / F.greatest(F.length("ta"), F.length("tb")).cast("double")
+    # stage the O(len^2) levenshtein and the normalized form as columns:
+    # the single-select form re-inlined the recurrence into lev,
+    # norm_lev AND is_dup — three full DP evaluations per pair
+    j = j.withColumn("_lev", F.levenshtein("ta", "tb")).withColumn(
+        "_norm",
+        F.col("_lev")
+        / F.greatest(F.length("ta"), F.length("tb")).cast("double"),
+    )
     return j.select(
         "doc_a",
         "doc_b",
-        lev.alias("lev"),
-        (F.round(norm, 4) + F.lit(0.0)).alias("norm_lev"),
-        (F.round(norm, 6) <= F.lit(EDIT_DUP_NORM)).cast("int").alias("is_dup"),
+        F.col("_lev").alias("lev"),
+        (F.round(F.col("_norm"), 4) + F.lit(0.0)).alias("norm_lev"),
+        (F.round(F.col("_norm"), 6) <= F.lit(EDIT_DUP_NORM))
+        .cast("int")
+        .alias("is_dup"),
     )
 
 
