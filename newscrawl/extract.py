@@ -123,16 +123,65 @@ def discover_outlinks(html: bytes | str | None) -> list[str]:
     return out
 
 
+_JUNK_WORDS = ("follow us", "share this", "sign up", "subscribe", "cookie")
+
+
+def extract_all(html: bytes | str | None) -> tuple[Optional[str], str, list[str]]:
+    """(title, text, outlinks) from ONE decode and ONE <article> search —
+    byte-identical to calling extract_title / extract_text /
+    discover_outlinks (same regexes, same order, same strip rules);
+    those remain the per-field spec and the oracle's entry points, and
+    the golden crawl diffs cross-validate this fusion on every test
+    run.  The three separate accessors each decoded the html and
+    re-searched the article block — 3x the O(page) regex work the
+    extract kernel actually needs."""
+    body_m = _ARTICLE_RE.search(_decode(html))
+    if not body_m:
+        return None, "", []
+    body = body_m.group(1)
+    title_m = _H1_RE.search(body)
+    title = title_m.group(1).strip() if title_m else None
+    parts: list[str] = []
+    if title_m:
+        parts.append(title)
+    for p in _P_RE.findall(body):
+        t = p.strip()
+        if t:
+            parts.append(t)
+    text = "\n\n".join(parts)
+    outlinks: list[str] = []
+    rel = _RELATED_RE.search(body)
+    if rel:
+        seen: set[str] = set()
+        for href in _HREF_RE.findall(rel.group(1)):
+            if href not in seen:
+                seen.add(href)
+                outlinks.append(href)
+    return title, text, outlinks
+
+
 def clean_text(text: str | None) -> str:
     """Deterministic cleaner (reference call_to_genai.py:120-138):
     drop URLs, drop junk lines, strip trailing spaces, squeeze >=3
-    newlines to 2, strip ends."""
+    newlines to 2, strip ends.
+
+    Each regex pass is guarded by a conservative C-speed substring
+    probe (a superset of the pattern's trigger): extracted article text
+    rarely contains URLs/boilerplate, so most pages skip most regex
+    scans — same output by construction (a pass that cannot match is a
+    no-op)."""
     if not text:
         return ""
-    t = _URL_IN_TEXT_RE.sub("", text)
-    t = _JUNK_LINE_RE.sub("", t)
-    t = _TRAIL_SPACE_RE.sub("", t)
-    t = _SQUEEZE_NL_RE.sub("\n\n", t)
+    t = text
+    if "http" in t:  # https?:// requires the literal 'http'
+        t = _URL_IN_TEXT_RE.sub("", t)
+    low = t.lower()
+    if any(w in low for w in _JUNK_WORDS):  # \b<word>\b needs the word
+        t = _JUNK_LINE_RE.sub("", t)
+    if " \n" in t or "\t\n" in t or t[-1:] in (" ", "\t"):
+        t = _TRAIL_SPACE_RE.sub("", t)
+    if "\n\n\n" in t:
+        t = _SQUEEZE_NL_RE.sub("\n\n", t)
     return t.strip()
 
 
@@ -375,6 +424,65 @@ def enrich_article(
     )
 
 
+def _analyze_enrich(text: str):
+    """Fused analyze_text + enrich_article over ONE shared tokenization
+    pass (they each ran text.lower().split() and their own token loop).
+    Returns (n_tokens, stop_ratio, lang_pred, quality, summary, topic,
+    sentiment_label, sentiment_score, locations, organizations,
+    persons) — byte-identical to calling the two spec functions, which
+    remain the oracle's entry points; tests/test_extract_fused.py
+    asserts the equivalence property."""
+    toks = (text or "").lower().split()
+    n_tokens = len(toks)
+    scores = [0] * len(CANDIDATE_TOPICS)
+    pos = neg = n_stop = 0
+    buckets: dict[str, list[str]] = {"loc": [], "org": [], "per": []}
+    seen: set[str] = set()
+    t_get = TOPIC_LEXICON.get
+    e_get = ENTITY_LEXICON.get
+    for t in toks:
+        if t in STOPWORDS:
+            n_stop += 1
+        i = t_get(t)
+        if i is not None:
+            scores[i] += 1
+        if t in POS_WORDS:
+            pos += 1
+        elif t in NEG_WORDS:
+            neg += 1
+        b = e_get(t)
+        if b is not None and t not in seen:
+            seen.add(t)
+            buckets[b].append(t)
+    if n_tokens == 0:
+        ana = (0, 0.0, "unknown", 0.0)
+    else:
+        stop_ratio = round(n_stop / n_tokens, 4)
+        n_chars = len(text)
+        n_punct = sum(text.count(c) for c in ".!?,;:")
+        ana = (
+            n_tokens,
+            stop_ratio,
+            "en" if stop_ratio >= 0.05 else "other",
+            round(
+                (min(n_tokens, 200) / 200.0) * (1.0 - n_punct / max(n_chars, 1)),
+                4,
+            ),
+        )
+    topic = CANDIDATE_TOPICS[scores.index(max(scores))]
+    label = "POSITIVE" if pos >= neg else "NEGATIVE"
+    score = round(0.5 + 0.5 * abs(pos - neg) / max(pos + neg, 1), 4)
+    return ana + (
+        summarize(text),
+        topic,
+        label,
+        score,
+        buckets["loc"],
+        buckets["org"],
+        buckets["per"],
+    )
+
+
 def classify_topic(text: str) -> str:
     return enrich_article(text)[1]
 
@@ -426,6 +534,11 @@ def make_extract_kernel(enrich_fn=None):
     """
     enrich = enrich_fn or enrich_article
 
+    # the default enrich path additionally fuses the analyze pass into
+    # the same token loop (_analyze_enrich); a custom enrich_fn keeps
+    # the separate analyze_text pass (its contract is enrich-only)
+    fused_default = enrich_fn is None
+
     def extract_pages_fn(batch_iter: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
         # the fingerprint is the kernel's hottest loop; use the native
         # kernel when a C compiler is available on this worker, else the
@@ -437,18 +550,29 @@ def make_extract_kernel(enrich_fn=None):
         for pdf in batch_iter:
             htmls = pdf["html"]
             pdf = pdf.drop(columns=["html"])
-            pdf["title"] = [extract_title(h) for h in htmls]
-            pdf["text"] = [extract_text(h) for h in htmls]
-            pdf["clean_text"] = [clean_text(t) for t in pdf["text"]]
-            pdf["outlinks"] = [discover_outlinks(h) for h in htmls]
-            pdf["skip"] = [is_skip_title(t) for t in pdf["title"]]
-            analysis = [analyze_text(t) for t in pdf["text"]]
+            # ONE html decode + article search per page (extract_all)
+            # and ONE tokenization shared by analyze+enrich
+            # (_analyze_enrich) — the per-field spec functions each
+            # re-did that O(page) work (3 decodes + 2 token loops)
+            rows = [extract_all(h) for h in htmls]
+            texts = [r[1] for r in rows]
+            pdf["title"] = [r[0] for r in rows]
+            pdf["text"] = texts
+            pdf["clean_text"] = [clean_text(t) for t in texts]
+            pdf["outlinks"] = [r[2] for r in rows]
+            pdf["skip"] = [is_skip_title(r[0]) for r in rows]
+            if fused_default:
+                ae = [_analyze_enrich(t) for t in texts]
+                enr = [e[4:] for e in ae]
+                analysis = [e[:4] for e in ae]
+            else:
+                analysis = [analyze_text(t) for t in texts]
+                enr = [enrich(t) for t in texts]
             pdf["n_tokens"] = [a[0] for a in analysis]
             pdf["stop_ratio"] = [a[1] for a in analysis]
             pdf["lang_pred"] = [a[2] for a in analysis]
             pdf["quality"] = [a[3] for a in analysis]
-            pdf["fingerprint"] = [fp(t) for t in pdf["text"]]
-            enr = [enrich(t) for t in pdf["text"]]
+            pdf["fingerprint"] = [fp(t) for t in texts]
             pdf["summary"] = [e[0] for e in enr]
             pdf["topic"] = [e[1] for e in enr]
             pdf["sentiment_label"] = [e[2] for e in enr]
