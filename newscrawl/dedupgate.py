@@ -140,6 +140,12 @@ def _clear_orphan_table_dir(spark, table: str) -> None:
     import os
     import shutil
 
+    # scope the cleanup to THIS module's table namespace: with a shared
+    # warehouse dir (concurrent bench/test sessions, or a persistent
+    # metastore) an unscoped rmtree could delete another session's live
+    # data for a table this session merely hasn't registered (ADVICE r6)
+    if not table.lower().startswith("newscrawl_"):
+        return
     wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     for prefix in ("file://", "file:"):
         if wh.startswith(prefix):

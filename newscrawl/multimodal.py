@@ -310,7 +310,12 @@ def extract_media_features(batch_iter: Iterator["pandas.DataFrame"]) -> Iterator
                     )
                     continue
                 feats.append(_fallback_features(payload))
-            except (NotImplementedError, ValueError):
+            except Exception:
+                # the FULL decode failure surface, not just the declared
+                # stubs: a truncated IDAT raises zlib.error, a short fmt
+                # chunk raises struct.error, and neither subclasses
+                # ValueError — malformed crawled bytes must degrade to
+                # the fallback features, never kill the wave (ADVICE r6)
                 feats.append(_fallback_features(payload))
         out = pdf.drop(columns=["payload"]).reset_index(drop=True)
         out[

@@ -90,10 +90,22 @@ def stream_crawl(
 
     def _lineage() -> str:
         # read lazily: Spark writes <ckpt>/metadata at query start,
-        # which is before the first foreachBatch invocation
+        # which is before the first foreachBatch invocation.
+        # LOCAL-CHECKPOINT ASSUMPTION (ADVICE r6): this open() is plain
+        # local-filesystem IO; a remote checkpointLocation (hdfs://,
+        # s3a://) needs the Hadoop FS API instead — assert loudly
+        # rather than fail with a confusing FileNotFoundError at the
+        # first micro-batch.
         if _lineage_box["v"] is None:
             import json
 
+            assert "://" not in checkpoint_dir or checkpoint_dir.startswith(
+                "file:"
+            ), (
+                "stream_crawl reads the exactly-once lineage id via local"
+                f" file IO; remote checkpoint '{checkpoint_dir}' is not"
+                " supported (use a local checkpointLocation)"
+            )
             with open(os.path.join(ckpt_loc, "metadata")) as fh:
                 _lineage_box["v"] = str(json.load(fh)["id"])
         return _lineage_box["v"]

@@ -579,6 +579,9 @@ def run_wave(
         # write went 6.9 s -> 40.8 s when it briefly took the
         # repartition path).
         _SMALL_DELTA_BYTES = 64 << 20
+        # fused articles write: above this estimated delta the carried
+        # extract stage must not collapse to one core (ADVICE r6)
+        _FUSED_FLOOR_BYTES = 256 << 10
 
         def write_plan(table: str, n_rows_est: int) -> tuple:
             st = catalog.table_stats(table)
@@ -662,7 +665,23 @@ def run_wave(
             # later). Never repartition here — that would shuffle the
             # whole data plane.
             _w_plan, _est_art = write_plan("articles", n_frontier)
-            _w_art = _cores if _est_art >= 2 * _MIN_FILE_BYTES else _w_plan
+            # mid-size-wave floor (ADVICE r6): a sub-2-min-file estimate
+            # used to coalesce to _w_plan (often 1), collapsing the
+            # whole extract computation this write CARRIES onto one
+            # core — the upstream-serialization hazard the narrowed()
+            # comment warns about. Keep >= half the cores once the
+            # estimated delta implies enough pages that single-core
+            # extraction would dominate (above ~_FUSED_FLOOR_BYTES);
+            # compact() bin-packs the resulting small files. GENUINELY
+            # tiny waves (KB deltas — golden/test crawls) keep the
+            # 1-file clamp, where multi-file task scheduling costs more
+            # than it saves (the r5 inverse-scaling residue).
+            if _est_art >= 2 * _MIN_FILE_BYTES:
+                _w_art = _cores
+            elif _est_art >= _FUSED_FLOOR_BYTES:
+                _w_art = max(_w_plan, _cores // 2)
+            else:
+                _w_art = _w_plan
             timed_write("articles", articles.coalesce(_w_art), "append")
             tick("extract+articles(fused)")
             n_extracted = extracted.count()  # cache is filled: cheap
