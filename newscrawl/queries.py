@@ -3536,7 +3536,11 @@ def q_pagerank_sources(spark, sf_dir):
     node (host) cardinality — localCheckpoint keeps it distributed and
     cuts lineage; at web scale (10^8 hosts) the same loop runs with the
     broadcast replaced by a shuffle join on node."""
-    docs = _spread(_t(spark, sf_dir, "documents"))
+    # no _spread here (measured): the corpus has ~2 chunk-md5s per doc,
+    # so the repartition Exchange cost more than the 1-split scan it
+    # parallelized (2.5 s -> 1.9 s without it); at larger corpora the
+    # scan splits provide parallelism by itself
+    docs = _t(spark, sf_dir, "documents")
     # Per-chunk DF via a Window over the (source, chunk_hash)-distinct
     # frame: the Window's Exchange partitions by chunk_hash, exactly the
     # partitioning the self-join below needs, so the cap costs no extra
@@ -4117,16 +4121,21 @@ def q_semantic_dedup(spark, sf_dir):
         # per-call persist leaked one cached frame per invocation
         assigned = _assign_to_centroids(emb, cents_df).persist()
         _SEMDEDUP_CACHE[_ak] = assigned
+    # per-side norms come staged from _assign_to_centroids (_ne) — the
+    # inlined form re-folded both self-dots once per intra-cluster PAIR
     a = assigned.select(
-        F.col("vec_id").alias("va"), F.col("embedding").alias("ea"), "bucket"
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        "bucket",
+        F.col("_ne").alias("_na"),
     )
     b = assigned.select(
-        F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"), "bucket"
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        "bucket",
+        F.col("_ne").alias("_nb"),
     )
-    cos = _vec_dot(F.col("ea"), F.col("eb")) / (
-        F.sqrt(_vec_dot(F.col("ea"), F.col("ea")))
-        * F.sqrt(_vec_dot(F.col("eb"), F.col("eb")))
-    )
+    cos = _vec_dot(F.col("ea"), F.col("eb")) / (F.col("_na") * F.col("_nb"))
     dups = (
         a.join(b, "bucket")
         .filter(F.col("va") < F.col("vb"))
@@ -5238,8 +5247,11 @@ def q_corpus_prepare(spark, sf_dir):
     _ck = (_session_key(spark), sf_dir)
     shared = _CORPUS_CACHE.get(_ck)
     if shared is None:
-        shared = _spread(
-            _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+        # no _spread (measured 0.49 vs 0.58 s): the gates are light
+        # per-row JVM expressions; the repartition only added an
+        # Exchange ahead of the persist
+        shared = _t(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text"
         ).persist()
         _CORPUS_CACHE[_ck] = shared
     kept_q = q_quality_prune_pipeline(spark, sf_dir, docs=shared).filter(
@@ -5926,52 +5938,74 @@ def q_nb_lang_classifier(spark, sf_dir):
     # (t+v)) inside the fold for every (doc, class, term) occurrence:
     # same integers, same division, same log — bit-identical doubles —
     # and the sort key (w unique per group) fixes the same fold order.
-    model = cls.join(tot, "cls").withColumn(
-        "lp0",
-        F.log(F.lit(1.0) / (F.col("t") + F.lit(v)).cast("double")),
+    # Score ALL classes in ONE pass over ONE per-doc sorted term list:
+    # the previous shape crossJoined dw x K classes (K x the rows, K x
+    # the collect_list/sort work, 4 groups per doc) and ranked with a
+    # window. Here the model pivots to one vocabulary-sized row per
+    # term carrying every class's log-probability (log((c+1)/(t+v)) —
+    # the same integers through the same in-plan JVM log, so the
+    # doubles are bit-identical); each doc folds its single sorted
+    # (w, m, lp_0..lp_K) list once per class — the fold order (w is
+    # unique per doc) and the per-element arithmetic are EXACTLY the
+    # per-(doc, class) fold of the previous form. The argmax when-chain
+    # over round(score, 6) with class-ascending tie-break is the same
+    # pick as the previous row_number window. Class/total state is
+    # K-bounded driver model state (the kmeans-centroids pattern).
+    model_rows = sorted(
+        cls.join(tot, "cls").collect(), key=lambda r: r["cls"]
     )
-    cws_lp = cws.join(tot, "cls").select(
-        "cls",
-        "w",
-        F.log(
-            (F.col("c") + F.lit(1)).cast("double")
-            / (F.col("t") + F.lit(v)).cast("double")
-        ).alias("lp"),
+    if not model_rows:  # empty corpus -> empty confusion matrix
+        return spark.createDataFrame(
+            [], "lang_true string, lang_pred string, n long"
+        )
+    classes = [r["cls"] for r in model_rows]
+    wide = cws.groupBy("w").pivot("cls", classes).agg(F.first("c"))
+    lp_cols = {}
+    for i, r in enumerate(model_rows):
+        tv = F.lit(float(int(r["t"]) + v))
+        lp_cols[f"_lp{i}"] = F.when(
+            F.col(f"`{classes[i]}`").isNotNull(),
+            F.log((F.col(f"`{classes[i]}`") + F.lit(1)).cast("double") / tv),
+        ).otherwise(F.log(F.lit(1.0) / tv))
+    wmodel = wide.withColumns(lp_cols).select(
+        "w", *[f"_lp{i}" for i in range(len(classes))]
     )
-    scored = (
-        dw.crossJoin(F.broadcast(model))
-        .join(F.broadcast(cws_lp), ["cls", "w"], "left")
-        .groupBy("doc_id", "lang_true", "cls", "n_docs")
+    per_doc = (
+        dw.join(F.broadcast(wmodel), "w")
+        .groupBy("doc_id", "lang_true")
         .agg(
             F.sort_array(
                 F.collect_list(
                     F.struct(
-                        "w", "m", F.coalesce("lp", F.col("lp0")).alias("lp")
+                        "w", "m", *[f"_lp{i}" for i in range(len(classes))]
                     )
                 )
             ).alias("wc")
         )
-        .select(
-            "doc_id",
-            "lang_true",
-            "cls",
-            (
-                F.log(F.col("n_docs").cast("double") / F.lit(float(n)))
-                + F.aggregate(
-                    F.col("wc"),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x["m"].cast("double") * x["lp"],
-                )
-            ).alias("score"),
+    )
+    def _fold_for(i):
+        # closure factory: F.aggregate inspects the lambda's arity, so
+        # a default-arg capture (acc, x, _i=i) would mis-bind as 3-arg
+        return lambda acc, x: acc + x["m"].cast("double") * x[f"_lp{i}"]
+
+    score_cols = {}
+    for i, r in enumerate(model_rows):
+        prior = F.log(
+            F.lit(float(int(r["n_docs"]))) / F.lit(float(n))
         )
+        score_cols[f"_s{i}"] = prior + F.aggregate(
+            F.col("wc"), F.lit(0.0), _fold_for(i)
+        )
+    staged = per_doc.withColumns(score_cols).withColumns(
+        {f"_r{i}": F.round(F.col(f"_s{i}"), 6) for i in range(len(classes))}
     )
-    w_rank = W.partitionBy("doc_id").orderBy(
-        F.round(F.col("score"), 6).desc(), F.col("cls")
-    )
-    pred = (
-        scored.withColumn("_rn", F.row_number().over(w_rank))
-        .filter(F.col("_rn") == 1)
-        .select("doc_id", "lang_true", F.col("cls").alias("lang_pred"))
+    mx = F.greatest(*[F.col(f"_r{i}") for i in range(len(classes))])
+    staged = staged.withColumn("_mx", mx)
+    label = F.when(F.col("_r0") == F.col("_mx"), F.lit(classes[0]))
+    for i in range(1, len(classes)):
+        label = label.when(F.col(f"_r{i}") == F.col("_mx"), F.lit(classes[i]))
+    pred = staged.select(
+        "doc_id", "lang_true", label.alias("lang_pred")
     )
     return pred.groupBy("lang_true", "lang_pred").agg(
         F.count("*").alias("n")
