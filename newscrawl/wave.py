@@ -460,14 +460,16 @@ def run_wave(
         children = priority.child_frontier(yielded).select(*FRONTIER_COLS)
         new_frontier = carry.unionByName(children)
 
-        if _nd_cached is not None:
-            # gate path: one pass fills the extract cache, then the
-            # wave's band frame AND the flag decisions materialize ONCE
-            # before the parallel write pool: near_dup_flags and
-            # minhash_bands both derive from them, and two concurrent
-            # jobs racing an unfilled cache each recompute the
-            # (md5-heavy) band kernel and the probe joins (articles
-            # depends on the flags in drop mode, so no fusion here)
+        # In DROP mode the articles sink depends on the flag decisions,
+        # so the gate must materialize (extract cache -> bands -> flags)
+        # BEFORE any write: two concurrent jobs racing an unfilled cache
+        # would each recompute the (md5-heavy) band kernel and the probe
+        # joins. In FLAG mode (and ungated) the articles frame does NOT
+        # depend on the flags, so the fused write below both fills the
+        # extract cache AND overlaps sink IO with extract CPU; the
+        # band/flag frames then materialize off the filled cache.
+        _gate_pre_fuse = _nd_cached is not None and dedup_gate == "drop"
+        if _gate_pre_fuse:
             n_extracted = extracted.count()
             tick("extract(materialize)")
             _nd_cached.count()
@@ -475,12 +477,12 @@ def run_wave(
             nd_flags.count()
             tick("dedup_gate(flags materialize)")
         else:
-            # no gate: the articles WRITE below is the action that
-            # materializes the extract cache — extract CPU and sink IO
-            # overlap inside one job instead of serializing (a real
-            # cluster's sink streams from the extract stage; it never
-            # materializes-then-rewrites). n_extracted is read off the
-            # filled cache right after.
+            # the articles WRITE below is the action that materializes
+            # the extract cache — extract CPU and sink IO overlap inside
+            # one job instead of serializing (a real cluster's sink
+            # streams from the extract stage; it never materializes-
+            # then-rewrites). n_extracted is read off the filled cache
+            # right after.
             n_extracted = -1  # set after the fused write
 
         # metrics (A1-A3 analogs) in ONE aggregation job over the persisted
@@ -684,6 +686,15 @@ def run_wave(
                 _w_art = _w_plan
             timed_write("articles", articles.coalesce(_w_art), "append")
             tick("extract+articles(fused)")
+            if _nd_cached is not None:
+                # flag-mode gate: bands + flag decisions materialize
+                # ONCE off the now-filled extract cache, before the
+                # write pool races them (drop mode took the pre-fuse
+                # path above instead)
+                _nd_cached.count()
+                tick("dedup_gate(bands materialize)")
+                nd_flags.count()
+                tick("dedup_gate(flags materialize)")
             n_extracted = extracted.count()  # cache is filled: cheap
 
         with ThreadPoolExecutor(max_workers=8) as pool:
