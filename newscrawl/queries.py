@@ -4196,8 +4196,22 @@ def q_dsir_importance(spark, sf_dir):
     Shapes: two conditional-sum aggregations over one token explode
     build the log-ratio table (vocabulary cardinality); scoring is one
     join on term + one per-doc mean."""
-    toks = _terms(spark, sf_dir).select(
-        "doc_id", (F.col("doc_id") % 29 == 0).alias("is_target"), "term"
+    # NOT routed through the shared _terms frame, and _spread kept:
+    # this query's output is round(avg(lr), 4) with NO signed-zero
+    # normalization in the frozen oracle SQL, and the tiny residual of
+    # the float sum rounds to +-0.0 depending on summation ORDER — the
+    # round-start partitioning must be preserved exactly (changing it
+    # flipped doc 350's 0.0 to -0.0 vs DuckDB at sf0.001).
+    docs = _spread(_t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 29 == 0).alias("is_target"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("term"),
     )
     counts = toks.groupBy("term").agg(
         F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
